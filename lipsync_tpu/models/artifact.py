@@ -1,0 +1,155 @@
+"""Artifact detection branch (raw + delta + Laplacian high-frequency).
+
+Re-design of `/root/reference/app/models/artifact_detector.py:14-183`:
+1. Temporal-inconsistency detector: Conv3d D->D/2->D/4 (+BN+ReLU) over the
+   visual feature map, global average pooled.
+2. Delta branch: frame-difference of the feature map through the *same*
+   detector weights.
+3. High-frequency branch: fixed-init (but trainable) spatial Laplacian
+   Conv2d per frame on the raw clip, then Conv3d 3->32->64 with spatial
+   stride 2, global average pooled.
+CLS(D) + concat(artifact features) -> MLP -> (B, D/2).
+
+Layouts are channels-last: feature map ``(B, T, H, W, D)``, raw clip
+``(B, T, H, W, 3)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from lipsync_tpu.models.layers import ConvBNAct
+
+
+def _laplacian_kernel_3ch() -> np.ndarray:
+    """Per-channel spatial Laplacian, flax layout (kH, kW, in, out).
+
+    Matches artifact_detector.py:14-21 (each output channel sees only its
+    own input channel).
+    """
+    k = np.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], np.float32)
+    w = np.zeros((3, 3, 3, 3), np.float32)
+    for i in range(3):
+        w[:, :, i, i] = k
+    return w
+
+
+class TemporalInconsistencyDetector(nn.Module):
+    """Conv3d stack detecting flicker in visual features
+    (artifact_detector.py:65-107)."""
+
+    feature_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        out = ConvBNAct(
+            self.feature_dim // 2,
+            kernel_size=(3, 3, 3),
+            strides=(1, 1, 1),
+            padding=((1, 1),) * 3,
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv1",
+        )(x, train=train)
+        out = ConvBNAct(
+            self.feature_dim // 4,
+            kernel_size=(3, 3, 3),
+            strides=(1, 1, 1),
+            padding=((1, 1),) * 3,
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv2",
+        )(out, train=train)
+        return jnp.mean(out, axis=(1, 2, 3))  # (B, D/4)
+
+
+class HighFrequencyDetector(nn.Module):
+    """Laplacian high-pass + Conv3d over the raw clip
+    (artifact_detector.py:24-62)."""
+
+    out_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, video: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, t, h, w, c = video.shape
+        # Per-frame 2D Laplacian == one grouped-in-time conv: fold T into batch.
+        frames = video.reshape(b * t, h, w, c)
+        lap = nn.Conv(
+            3,
+            kernel_size=(3, 3),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            kernel_init=lambda *_: jnp.asarray(_laplacian_kernel_3ch()),
+            dtype=self.dtype,
+            name="laplacian",
+        )(frames)
+        x = lap.reshape(b, t, h, w, c)
+        x = ConvBNAct(
+            32,
+            kernel_size=(3, 3, 3),
+            strides=(1, 2, 2),
+            padding=((1, 1),) * 3,
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv1",
+        )(x, train=train)
+        x = ConvBNAct(
+            self.out_dim,
+            kernel_size=(3, 3, 3),
+            strides=(1, 2, 2),
+            padding=((1, 1),) * 3,
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv2",
+        )(x, train=train)
+        return jnp.mean(x, axis=(1, 2, 3))  # (B, out_dim)
+
+
+class ArtifactDetector(nn.Module):
+    """Full artifact branch (artifact_detector.py:110-183)."""
+
+    visual_feature_dim: int = 256
+    embed_dim: int = 256
+    use_delta_map: bool = True
+    use_high_freq: bool = True
+    high_freq_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        visual_features: jnp.ndarray,
+        cls_output: jnp.ndarray,
+        raw_video: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        detector = TemporalInconsistencyDetector(
+            self.visual_feature_dim, dtype=self.dtype, name="temporal_detector"
+        )
+        artifact_feat = detector(visual_features, train=train)
+
+        if self.use_delta_map:
+            if visual_features.shape[1] > 1:
+                delta = visual_features[:, 1:] - visual_features[:, :-1]
+            else:
+                delta = jnp.zeros_like(visual_features)
+            delta_feat = detector(delta, train=train)  # shared weights
+            artifact_feat = jnp.concatenate([artifact_feat, delta_feat], axis=-1)
+
+        if self.use_high_freq and raw_video is not None:
+            hf = HighFrequencyDetector(
+                self.high_freq_dim, dtype=self.dtype, name="high_freq_detector"
+            )(raw_video, train=train)
+            artifact_feat = jnp.concatenate([artifact_feat, hf], axis=-1)
+
+        combined = jnp.concatenate([cls_output, artifact_feat], axis=-1)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, name="fusion_fc1")(combined)
+        h = nn.relu(h)
+        h = nn.Dense(self.embed_dim // 2, dtype=self.dtype, name="fusion_fc2")(h)
+        return nn.relu(h)

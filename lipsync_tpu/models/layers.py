@@ -1,0 +1,231 @@
+"""Shared flax building blocks for the lip-sync model family.
+
+These re-create the *semantics* of the reference's torch modules
+(`/root/reference/app/models/visual_encoder.py:7-87`,
+`/root/reference/app/models/audio_encoder.py:7-89`,
+`nn.MultiheadAttention`, `nn.TransformerEncoderLayer(norm_first=True)`)
+in TPU-idiomatic channels-last layouts so XLA can tile convs/matmuls
+straight onto the MXU. BatchNorm carries torch-compatible running stats
+(momentum 0.1 torch == 0.9 flax, eps 1e-5) so converted checkpoints are
+bit-comparable in eval mode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU, matching torch's default ``nn.GELU()``."""
+    return nn.gelu(x, approximate=False)
+
+
+class ConvBNAct(nn.Module):
+    """Conv -> BatchNorm -> activation, N-dimensional (channels-last).
+
+    Mirrors `_Conv3dBNReLU` / `_ConvBNReLU` in the reference
+    (visual_encoder.py:7-31, audio_encoder.py:7-31).
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    padding: Sequence[Tuple[int, int]]
+    use_bias: bool = False
+    act: Callable[[jnp.ndarray], jnp.ndarray] | None = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            kernel_size=tuple(self.kernel_size),
+            strides=tuple(self.strides),
+            padding=tuple(self.padding),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class ResidualBlockND(nn.Module):
+    """Residual block: ConvBNReLU -> ConvBN (+ 1x1 ConvBN shortcut) -> ReLU.
+
+    Covers both the 3D video block (visual_encoder.py:34-87) and the 2D
+    audio block (audio_encoder.py:34-89); dimensionality follows the rank
+    of ``kernel_size``.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = [((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size]
+        needs_proj = (
+            any(s != 1 for s in self.strides) or x.shape[-1] != self.features
+        )
+        if needs_proj:
+            identity = ConvBNAct(
+                self.features,
+                kernel_size=[1] * len(self.kernel_size),
+                strides=self.strides,
+                padding=[(0, 0)] * len(self.kernel_size),
+                act=None,
+                dtype=self.dtype,
+                name="downsample",
+            )(x, train=train)
+        else:
+            identity = x
+        out = ConvBNAct(
+            self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            dtype=self.dtype,
+            name="conv1",
+        )(x, train=train)
+        out = ConvBNAct(
+            self.features,
+            kernel_size=self.kernel_size,
+            strides=[1] * len(self.kernel_size),
+            padding=pad,
+            act=None,
+            dtype=self.dtype,
+            name="conv2",
+        )(out, train=train)
+        return nn.relu(out + identity)
+
+
+def max_pool_same(
+    x: jnp.ndarray,
+    window: Sequence[int],
+    strides: Sequence[int],
+    padding: Sequence[Tuple[int, int]],
+) -> jnp.ndarray:
+    """Max pool over the spatial dims of a channels-last array.
+
+    Pads with -inf like torch's MaxPool (visual stem maxpool
+    visual_encoder.py:124-128; audio stem maxpool audio_encoder.py:139).
+    ``window``/``strides``/``padding`` cover only spatial dims.
+    """
+    dims = (1,) + tuple(window) + (1,)
+    strd = (1,) + tuple(strides) + (1,)
+    pad = ((0, 0),) + tuple(padding) + ((0, 0),)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, dims, strd, pad
+    ).astype(x.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Torch-compatible multi-head attention (``nn.MultiheadAttention``).
+
+    Packed-QKV semantics of torch are reproduced with separate q/k/v
+    projections; the checkpoint converter splits ``in_proj_weight``
+    accordingly. Attention-weight dropout only applies in training.
+    """
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        d_head = self.dim // self.num_heads
+        dense = lambda name: nn.Dense(self.dim, dtype=self.dtype, name=name)
+        q = dense("q_proj")(query)
+        k = dense("k_proj")(key)
+        v = dense("v_proj")(value)
+
+        def split(t):  # (B, T, D) -> (B, H, T, dh)
+            b, t_len, _ = t.shape
+            return t.reshape(b, t_len, self.num_heads, d_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=jnp.float32))
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            weights = nn.Dropout(rate=self.dropout, deterministic=False)(weights)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        b, _, t_len, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, t_len, self.dim)
+        return dense("out_proj")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-norm transformer encoder layer matching
+    ``nn.TransformerEncoderLayer(norm_first=True, activation="gelu")``
+    as used by the temporal transformer (temporal.py:64-72)."""
+
+    dim: int
+    num_heads: int
+    ff_dim: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        h = ln("norm1")(x)
+        h = MultiHeadAttention(
+            self.dim, self.num_heads, dropout=self.dropout, dtype=self.dtype,
+            name="self_attn",
+        )(h, h, h, deterministic=deterministic)
+        if self.dropout > 0.0 and not deterministic:
+            h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
+        x = x + h
+        h = ln("norm2")(x)
+        h = nn.Dense(self.ff_dim, dtype=self.dtype, name="linear1")(h)
+        h = gelu_exact(h)
+        if self.dropout > 0.0 and not deterministic:
+            h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
+        if self.dropout > 0.0 and not deterministic:
+            h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
+        return x + h
+
+
+def interp_linear_time(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Linear interpolation along axis 1 of a (B, T, D) array.
+
+    Matches ``F.interpolate(mode="linear", align_corners=False)``
+    (fusion_module.py:67-73): half-pixel sample centers, edge clamp.
+    """
+    t_in = x.shape[1]
+    if t_in == out_len:
+        return x
+    scale = t_in / out_len
+    pos = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * scale - 0.5
+    pos = jnp.clip(pos, 0.0, t_in - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t_in - 1)
+    w = (pos - lo.astype(jnp.float32)).astype(x.dtype)[None, :, None]
+    return x[:, lo, :] * (1.0 - w) + x[:, hi, :] * w
