@@ -1,0 +1,155 @@
+"""Tests for device preprocessing ops: log-mel, VAD, crop/resize."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lipsync_tpu.ops.image import crop_resize_normalize, resize_bilinear
+from lipsync_tpu.ops.mel import (
+    hann_window,
+    log_mel_spectrogram,
+    mel_filterbank,
+    pad_or_truncate_frames,
+    power_to_db,
+)
+from lipsync_tpu.ops.vad import detect_voice_activity_pcm
+
+
+# --- independent numpy twin of the librosa mel pipeline --------------------
+
+
+def numpy_log_mel(y, sr=16000, n_fft=400, hop=160, n_mels=80):
+    """Loop-based reference implementation, structured differently from the
+    JAX op (per-frame python loop, np.fft) to catch vectorization bugs."""
+    pad = n_fft // 2
+    yp = np.concatenate([np.zeros(pad), y, np.zeros(pad)])
+    w = hann_window(n_fft).astype(np.float64)
+    n_frames = 1 + (len(yp) - n_fft) // hop
+    power = np.empty((n_frames, 1 + n_fft // 2))
+    for i in range(n_frames):
+        seg = yp[i * hop : i * hop + n_fft] * w
+        power[i] = np.abs(np.fft.rfft(seg)) ** 2
+    fb = mel_filterbank(sr, n_fft, n_mels).astype(np.float64)
+    mel = (power @ fb.T).T
+    amin = 1e-10
+    ref = max(mel.max(), amin)
+    db = 10 * np.log10(np.maximum(mel, amin)) - 10 * np.log10(ref)
+    return np.maximum(db, db.max() - 80.0)
+
+
+def test_hann_window_matches_scipy():
+    from scipy.signal import get_window
+
+    np.testing.assert_allclose(
+        hann_window(400), get_window("hann", 400, fftbins=True), atol=1e-7
+    )
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank()
+    assert fb.shape == (80, 201)
+    # Every filter has support, is non-negative, and neighbors overlap.
+    assert (fb >= 0).all()
+    assert (fb.sum(axis=1) > 0).all()
+    # Slaney normalization: peak amplitudes shrink as bandwidth grows.
+    assert fb[0].max() > fb[-1].max()
+
+
+def test_log_mel_matches_numpy_twin(rng):
+    y = rng.randn(16000).astype(np.float32) * 0.1
+    ours = np.asarray(log_mel_spectrogram(jnp.asarray(y)))
+    ref = numpy_log_mel(y.astype(np.float64))
+    assert ours.shape == ref.shape == (80, 101)
+    assert np.abs(ours - ref).max() < 1e-2  # dB scale
+
+
+def test_log_mel_pure_tone_peak():
+    """1 kHz tone must peak in the mel band containing 1 kHz."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    y = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    mel = np.asarray(log_mel_spectrogram(jnp.asarray(y)))
+    fb = mel_filterbank()
+    freqs = np.linspace(0, sr / 2, fb.shape[1])
+    peak_band = mel.mean(axis=1).argmax()
+    band_center = freqs[fb[peak_band].argmax()]
+    assert 850 < band_center < 1150
+
+
+def test_log_mel_frame_count_matches_reference_contract():
+    """100 mel frames per second (BASELINE.md: hop 160 @ 16 kHz)."""
+    for n_sec in (1, 2, 3):
+        y = jnp.zeros(16000 * n_sec)
+        mel = log_mel_spectrogram(y)
+        assert mel.shape == (80, 100 * n_sec + 1)
+
+
+def test_pad_or_truncate_frames():
+    mel = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+    padded = pad_or_truncate_frames(mel, 6)
+    assert padded.shape == (1, 3, 6)
+    np.testing.assert_array_equal(padded[..., 3], padded[..., 5])
+    truncated = pad_or_truncate_frames(mel, 2)
+    np.testing.assert_array_equal(truncated, mel[..., :2])
+
+
+def test_power_to_db_top_db_floor():
+    s = jnp.asarray([[1.0, 1e-12]])
+    db = np.asarray(power_to_db(s))
+    assert db[0, 0] == 0.0
+    assert db[0, 1] == -80.0
+
+
+# --- VAD -------------------------------------------------------------------
+
+
+def test_vad_flags_speech_not_silence(rng):
+    # True digital silence: the reference's 1e-8 energy floor (audio.py:204)
+    # means a noise floor at ~1e-4 amplitude sits exactly at threshold, so
+    # only sub-floor silence is reliably rejected — same as the reference.
+    sr = 16000
+    sil = np.zeros(sr)
+    tone = np.sin(2 * np.pi * 220 * np.arange(sr) / sr) * 0.5
+    y = np.concatenate([sil, tone, sil]).astype(np.float32)
+    mask, dur = detect_voice_activity_pcm(y, sr)
+    assert abs(dur - 3.0) < 1e-6
+    third = len(mask) // 3
+    assert mask[third + 5 : 2 * third - 5].mean() > 0.95
+    assert mask[5 : third - 5].mean() < 0.2
+
+
+def test_vad_empty_audio_all_true():
+    mask, dur = detect_voice_activity_pcm(np.zeros(0, np.float32))
+    assert dur == 0.0 and mask.all()
+
+
+# --- image ops -------------------------------------------------------------
+
+
+def test_resize_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    img = (rng.rand(31, 47, 3) * 255).astype(np.uint8)
+    ours = np.asarray(resize_bilinear(jnp.asarray(img), 96, 96))
+    ref = cv2.resize(img, (96, 96), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(ours - ref.astype(np.float32)).max() <= 1.0
+
+
+def test_crop_resize_normalize_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    frames = (rng.rand(4, 64, 80, 3) * 255).astype(np.uint8)
+    boxes = np.array(
+        [[10, 5, 50, 40], [0, 0, 80, 64], [20, 20, 45, 45], [3, 7, 60, 30]],
+        np.int32,
+    )
+    out = np.asarray(
+        crop_resize_normalize(jnp.asarray(frames), jnp.asarray(boxes), 32)
+    )
+    assert out.shape == (4, 32, 32, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        ref = cv2.resize(
+            frames[i, y1:y2, x1:x2], (32, 32), interpolation=cv2.INTER_LINEAR
+        ).astype(np.float32) / 255.0
+        # cv2 uses fixed-point bilinear internally (~1/256 quantization).
+        assert np.abs(out[i] - ref).max() < 0.005
