@@ -1,0 +1,82 @@
+"""Audio preprocessing: ingest -> device log-mel + VAD.
+
+Mirrors `/root/reference/app/preprocessing/audio.py:47-237` with the
+ffmpeg-subprocess + librosa pipeline replaced by the native in-process
+decoder and the fused device mel op.
+
+Native layout: returns ``(F, T)`` float32 dB (the reference's ``(1, F, T)``
+without the channel axis; ``utils.layout`` converts).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from lipsync_tpu.ops.mel import log_mel_spectrogram, pad_or_truncate_frames
+from lipsync_tpu.ops.vad import detect_voice_activity_pcm
+from lipsync_tpu.preprocessing import ingest
+from lipsync_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+def preprocess_audio_pcm(
+    y: np.ndarray,
+    sr: int = 16000,
+    n_mels: int = 80,
+    hop_length: int = 160,
+    win_length: int = 400,
+    target_frames: Optional[int] = None,
+) -> np.ndarray:
+    """Mono PCM -> (n_mels, T) log-mel dB (audio.py:80-99 semantics)."""
+    if y.size == 0:
+        raise ValueError("Empty audio signal")
+    mel = np.asarray(
+        log_mel_spectrogram(
+            jnp.asarray(y),
+            sr=sr,
+            n_fft=win_length,
+            hop_length=hop_length,
+            win_length=win_length,
+            n_mels=n_mels,
+        )
+    ).astype(np.float32)
+    if target_frames is not None:
+        mel = pad_or_truncate_frames(mel, target_frames)
+    return mel
+
+
+def preprocess_audio(
+    path: Path,
+    sr: int = 16000,
+    n_mels: int = 80,
+    hop_length: int = 160,
+    win_length: int = 400,
+    target_frames: Optional[int] = None,
+) -> np.ndarray:
+    """Load (extracting from video containers transparently) and compute the
+    log-mel spectrogram -> (n_mels, T) float32."""
+    y = ingest.read_audio(path, sr=sr)
+    if y.size == 0:
+        raise ValueError(f"Empty audio signal for {path}")
+    return preprocess_audio_pcm(
+        y, sr=sr, n_mels=n_mels, hop_length=hop_length,
+        win_length=win_length, target_frames=target_frames,
+    )
+
+
+def detect_voice_activity(
+    path: Path, sr: int = 16000
+) -> Tuple[np.ndarray, float]:
+    """(per-mel-frame speech mask @100 Hz, duration seconds); failures fall
+    back to an all-speech mask (audio.py:148-155,232-237)."""
+    try:
+        y = ingest.read_audio(path, sr=sr)
+    except Exception as e:
+        logger.warning("VAD audio load failed: %s — all-speech mask", e)
+        return np.ones(1, dtype=bool), 0.0
+    return detect_voice_activity_pcm(y, sr=sr)

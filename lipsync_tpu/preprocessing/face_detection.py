@@ -1,0 +1,271 @@
+"""Host-side face detection backends behind a common interface.
+
+The reference binds detection to MediaPipe FaceMesh with a 3-stage fallback
+chain (`/root/reference/app/preprocessing/face_detection.py:330-449`:
+FaceMesh -> MediaPipe FaceDetection bbox -> OpenCV Haar frontal+profile ->
+center crop). MediaPipe has no TPU analog and is treated as an optional
+backend; the OpenCV cascade tier (the reference's own production fallback)
+is the default host detector here, and a scripted fake backend exists so
+pipeline tests need no detector at all (SURVEY.md §4 "fixtures: none" gap).
+
+Backends return MOUTH bounding boxes only — cropping/resizing happens on
+device in one batched XLA call (`lipsync_tpu.ops.image.crop_resize_
+normalize`), which is the structural change vs the reference's per-frame
+cv2.resize loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+
+from lipsync_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+Box = Tuple[int, int, int, int]  # x1, y1, x2, y2 (x2/y2 exclusive)
+
+
+@dataclasses.dataclass
+class Detection:
+    """One detected mouth region."""
+
+    bbox: Box
+    detector: str = "unknown"
+    score: float = 1.0
+
+
+class FaceDetectorBackend(Protocol):
+    name: str
+
+    def detect(self, frame: np.ndarray) -> List[Detection]:
+        """RGB (H, W, 3) uint8 -> mouth-region detections."""
+        ...
+
+
+def face_bbox_to_mouth_bbox(
+    fx1: int, fy1: int, fw: int, fh: int, width: int, height: int
+) -> Box:
+    """Face box -> approximate mouth box (face_detection.py:220-234:
+    x in [0.18, 0.82]w, y in [0.52, 0.96]h, clamped)."""
+    x_min = fx1 + int(0.18 * fw)
+    x_max = fx1 + int(0.82 * fw)
+    y_min = fy1 + int(0.52 * fh)
+    y_max = fy1 + int(0.96 * fh)
+    x_min = max(0, min(x_min, width - 1))
+    y_min = max(0, min(y_min, height - 1))
+    x_max = max(x_min + 1, min(x_max, width))
+    y_max = max(y_min + 1, min(y_max, height))
+    return x_min, y_min, x_max, y_max
+
+
+def bbox_iou(b1: Sequence[float], b2: Sequence[float]) -> float:
+    """IoU on (x1, y1, x2, y2) boxes (face_detection.py:731-745)."""
+    inter_x1 = max(b1[0], b2[0])
+    inter_y1 = max(b1[1], b2[1])
+    inter_x2 = min(b1[2], b2[2])
+    inter_y2 = min(b1[3], b2[3])
+    if inter_x2 <= inter_x1 or inter_y2 <= inter_y1:
+        return 0.0
+    inter = (inter_x2 - inter_x1) * (inter_y2 - inter_y1)
+    a1 = max(1, (b1[2] - b1[0]) * (b1[3] - b1[1]))
+    a2 = max(1, (b2[2] - b2[0]) * (b2[3] - b2[1]))
+    union = a1 + a2 - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+class CascadeDetector:
+    """Haar cascade detector (frontal + profile) on the NATIVE evaluator.
+
+    Reproduces the reference's cascade tier (face_detection.py:236-328):
+    scaleFactor 1.08, minNeighbors 3, minSize 4% of the short side, NMS at
+    IoU 0.5 keeping the larger box, then the face->mouth heuristic. OpenCV 5
+    removed ``CascadeClassifier``, so evaluation runs in ``native/haar.cc``
+    via :mod:`lipsync_tpu.preprocessing.haar` using the distro's cascade
+    data files.
+    """
+
+    name = "cascade"
+
+    def __init__(self, max_num_faces: int = 5, min_neighbors: int = 3):
+        from lipsync_tpu.preprocessing.haar import (
+            HaarCascade,
+            find_cascade_file,
+        )
+
+        self.max_num_faces = max_num_faces
+        self.min_neighbors = min_neighbors
+        frontal = find_cascade_file("haarcascade_frontalface_default.xml")
+        if frontal is None:
+            raise RuntimeError("No frontal face cascade file found")
+        self._frontal = HaarCascade(frontal)
+        profile = find_cascade_file("haarcascade_profileface.xml")
+        self._profile = HaarCascade(profile) if profile else None
+
+    def detect(self, frame: np.ndarray) -> List[Detection]:
+        h, w = frame.shape[:2]
+        gray = (
+            0.299 * frame[:, :, 0]
+            + 0.587 * frame[:, :, 1]
+            + 0.114 * frame[:, :, 2]
+        ).astype(np.uint8)
+        min_side = max(20, int(min(h, w) * 0.04))
+
+        rects: List[Tuple[int, int, int, int]] = []
+        for cascade in (self._frontal, self._profile):
+            if cascade is None:
+                continue
+            found = cascade.detect(
+                gray, scale_factor=1.08, min_neighbors=self.min_neighbors,
+                min_size=min_side,
+            )
+            if len(found) > 0:
+                rects.extend(tuple(r) for r in found)
+
+        # NMS: IoU > 0.5 keeps the larger box (face_detection.py:284-310).
+        filtered: List[Tuple[int, int, int, int]] = []
+        for rect in rects:
+            rb = (rect[0], rect[1], rect[0] + rect[2], rect[1] + rect[3])
+            dup = False
+            for existing in list(filtered):
+                eb = (
+                    existing[0], existing[1],
+                    existing[0] + existing[2], existing[1] + existing[3],
+                )
+                if bbox_iou(rb, eb) > 0.5:
+                    if rect[2] * rect[3] > existing[2] * existing[3]:
+                        filtered.remove(existing)
+                        filtered.append(rect)
+                    dup = True
+                    break
+            if not dup:
+                filtered.append(rect)
+
+        out: List[Detection] = []
+        for x, y, fw, fh in filtered[: self.max_num_faces]:
+            mouth = face_bbox_to_mouth_bbox(x, y, fw, fh, w, h)
+            if mouth[2] - mouth[0] < 4 or mouth[3] - mouth[1] < 4:
+                continue
+            out.append(Detection(bbox=mouth, detector=self.name))
+        return out
+
+
+class MediaPipeDetector:
+    """MediaPipe FaceMesh backend (landmark mouth boxes ±20 px padding,
+    face_detection.py:428-449). Optional: raises ImportError when the
+    mediapipe wheel is absent (it has no TPU-image build)."""
+
+    name = "facemesh"
+
+    def __init__(
+        self,
+        max_num_faces: int = 5,
+        min_detection_confidence: float = 0.3,
+        min_tracking_confidence: float = 0.3,
+    ):
+        import mediapipe as mp  # noqa: F401  (optional dependency)
+
+        self._mp = mp
+        self.max_num_faces = max_num_faces
+        self._mesh = mp.solutions.face_mesh.FaceMesh(
+            static_image_mode=False,
+            max_num_faces=max_num_faces,
+            refine_landmarks=True,
+            min_detection_confidence=min_detection_confidence,
+            min_tracking_confidence=min_tracking_confidence,
+        )
+        # Outer + inner lip landmark indices (face_detection.py:101-124).
+        self.mouth_landmarks = [
+            61, 146, 91, 181, 84, 17, 314, 405, 320, 307, 375, 321,
+            78, 95, 88, 178, 87, 14, 317, 402, 318, 324,
+        ]
+
+    def detect(self, frame: np.ndarray) -> List[Detection]:
+        h, w = frame.shape[:2]
+        results = self._mesh.process(frame)
+        if not results or not results.multi_face_landmarks:
+            return []
+        out = []
+        for face in results.multi_face_landmarks:
+            pts = np.array(
+                [[lm.x * w, lm.y * h] for lm in face.landmark], np.float32
+            )
+            mouth = pts[self.mouth_landmarks]
+            x_min = max(0, int(mouth[:, 0].min()) - 20)
+            x_max = min(w, int(mouth[:, 0].max()) + 20)
+            y_min = max(0, int(mouth[:, 1].min()) - 20)
+            y_max = min(h, int(mouth[:, 1].max()) + 20)
+            out.append(Detection(bbox=(x_min, y_min, x_max, y_max),
+                                 detector=self.name))
+        return out
+
+
+class FakeDetector:
+    """Scripted backend for tests: returns preset boxes per frame index."""
+
+    name = "fake"
+
+    def __init__(self, script):
+        """``script``: list (per frame) of lists of boxes, or a callable
+        ``frame_idx -> List[Box]``. Indexing past the script yields []."""
+        self._script = script
+        self._idx = 0
+
+    def detect(self, frame: np.ndarray) -> List[Detection]:
+        if callable(self._script):
+            boxes = self._script(self._idx)
+        elif self._idx < len(self._script):
+            boxes = self._script[self._idx]
+        else:
+            boxes = []
+        self._idx += 1
+        return [Detection(bbox=tuple(b), detector=self.name) for b in boxes]
+
+
+class ChainedDetector:
+    """Fallback chain over backends (first non-empty wins) — the shape of
+    the reference's FaceMesh -> FaceDetection -> Haar ladder
+    (face_detection.py:387-413)."""
+
+    name = "chain"
+
+    def __init__(self, backends: Sequence[FaceDetectorBackend]):
+        self.backends = list(backends)
+
+    def detect(self, frame: np.ndarray) -> List[Detection]:
+        for backend in self.backends:
+            try:
+                found = backend.detect(frame)
+            except Exception as e:  # a tier crashing must not kill the frame
+                logger.warning("%s backend failed: %s", backend.name, e)
+                continue
+            if found:
+                return found
+        return []
+
+
+_default_backend: Optional[FaceDetectorBackend] = None
+
+
+def get_default_backend(max_num_faces: int = 5) -> FaceDetectorBackend:
+    """MediaPipe if importable, cascades otherwise (cached)."""
+    global _default_backend
+    if _default_backend is not None:
+        return _default_backend
+    tiers: List[FaceDetectorBackend] = []
+    try:
+        tiers.append(MediaPipeDetector(max_num_faces=max_num_faces))
+    except ImportError:
+        pass
+    tiers.append(CascadeDetector(max_num_faces=max_num_faces))
+    _default_backend = ChainedDetector(tiers) if len(tiers) > 1 else tiers[0]
+    return _default_backend
+
+
+def center_crop_box(h: int, w: int, crop: int = 96) -> Box:
+    """Center-crop fallback box (video.py:293-312, face_detection.py:604-631)."""
+    y1 = max(0, h // 2 - crop // 2)
+    x1 = max(0, w // 2 - crop // 2)
+    return (x1, y1, min(w, x1 + crop), min(h, y1 + crop))

@@ -1,0 +1,224 @@
+"""Multi-face IoU/velocity tracker — pure host state machine over boxes.
+
+Re-design of the production tracker in
+`/root/reference/app/preprocessing/face_detection.py:668-1101` with one
+structural change: this tracker consumes per-frame *detections* and emits
+per-track *bounding boxes per frame slot*; pixel cropping happens afterwards
+in one batched device call. Separating the (inherently serial) state machine
+from the (batched, on-device) crop path is the TPU-first restructuring named
+in SURVEY.md §7 "host/device split".
+
+Behavioral parity preserved:
+- IoU matching against velocity-extrapolated boxes for aged tracks, with a
+  relaxed threshold during the grace period (:825-866)
+- exponential velocity smoothing, alpha=0.4 (:886-899)
+- lerp backfill of missed slots once a track re-acquires (:869-884)
+- predicted-box placeholders for missed frames (:915-928)
+- retirement after ``max_age`` misses with retired tracks retained (:930-941)
+- span-relative weighted stability with consecutive-miss penalty (:1000-1020)
+- min-stability filter with keep-best fallback, top-``max_tracks`` (:1047-1056)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+from lipsync_tpu.preprocessing.face_detection import (
+    Box,
+    Detection,
+    bbox_iou,
+    center_crop_box,
+)
+
+
+@dataclasses.dataclass
+class TrackState:
+    track_id: int
+    start_frame_idx: int
+    end_frame_idx: int
+    last_bbox: Box
+    velocity: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    boxes: List[Box] = dataclasses.field(default_factory=list)
+    hits: int = 1
+    age: int = 0
+    consecutive_miss: int = 0
+    max_consecutive_miss: int = 0
+    miss_frame_indices: List[int] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class TrackResult:
+    """Finalized track: ``boxes[i]`` belongs to video frame
+    ``start_frame + i`` (crop on device afterwards)."""
+
+    track_id: int
+    boxes: List[Box]
+    hits: int
+    total_frames: int
+    stability: float
+    consecutive_miss_max: int
+    track_start_frame: int
+    track_end_frame: int
+
+
+def _predict_bbox(bbox: Box, velocity, steps: int = 1) -> Box:
+    x1, y1, x2, y2 = bbox
+    vx1, vy1, vx2, vy2 = velocity
+    return (
+        int(round(x1 + vx1 * steps)),
+        int(round(y1 + vy1 * steps)),
+        int(round(x2 + vx2 * steps)),
+        int(round(y2 + vy2 * steps)),
+    )
+
+
+def _lerp_bbox(b_from: Box, b_to: Box, t: float) -> Box:
+    return tuple(
+        int(round(b_from[k] + (b_to[k] - b_from[k]) * t)) for k in range(4)
+    )  # type: ignore[return-value]
+
+
+def track_faces(
+    detections_per_frame: Sequence[Sequence[Detection]],
+    frame_height: int,
+    frame_width: int,
+    max_tracks: int = 5,
+    iou_threshold: float = 0.25,
+    iou_threshold_relaxed: float = 0.12,
+    max_age: int = 15,
+    min_stability: float = 0.35,
+    crop_size: int = 96,
+) -> List[TrackResult]:
+    """Run the tracker over pre-computed detections."""
+    tracks: List[TrackState] = []
+    completed: List[TrackState] = []
+    next_id = 0
+    total_frames = max(1, len(detections_per_frame))
+    center_box = center_crop_box(frame_height, frame_width, crop_size)
+
+    for t_idx, detections in enumerate(detections_per_frame):
+        boxes = [d.bbox for d in detections]
+        matched: set = set()
+
+        for tr in tracks:
+            if tr.age > max_age:
+                continue
+            predicted = (
+                _predict_bbox(tr.last_bbox, tr.velocity, steps=tr.age + 1)
+                if tr.age > 0
+                else tr.last_bbox
+            )
+            best_iou, best_idx = 0.0, -1
+            for i, box in enumerate(boxes):
+                if i in matched:
+                    continue
+                score = bbox_iou(predicted, box)
+                if score > best_iou:
+                    best_iou, best_idx = score, i
+            threshold = iou_threshold_relaxed if tr.age > 0 else iou_threshold
+
+            if best_idx >= 0 and best_iou >= threshold:
+                matched.add(best_idx)
+                new_bbox = boxes[best_idx]
+
+                # Backfill missed slots with lerped boxes.
+                if tr.age > 0 and tr.boxes:
+                    gap = tr.age
+                    for g in range(gap):
+                        fill_idx = len(tr.boxes) - gap + g
+                        if 0 <= fill_idx < len(tr.boxes):
+                            tr.boxes[fill_idx] = _lerp_bbox(
+                                tr.last_bbox, new_bbox, (g + 1) / (gap + 1)
+                            )
+
+                alpha = 0.4
+                raw_v = tuple(
+                    float(new_bbox[k] - tr.last_bbox[k]) for k in range(4)
+                )
+                tr.velocity = tuple(
+                    alpha * raw_v[k] + (1 - alpha) * tr.velocity[k]
+                    for k in range(4)
+                )  # type: ignore[assignment]
+                tr.last_bbox = new_bbox
+                tr.end_frame_idx = t_idx
+                tr.boxes.append(new_bbox)
+                tr.hits += 1
+                tr.age = 0
+                tr.consecutive_miss = 0
+            else:
+                placeholder = (
+                    _predict_bbox(tr.last_bbox, tr.velocity)
+                    if tr.boxes
+                    else center_box
+                )
+                tr.boxes.append(_clamp_box(placeholder, frame_height,
+                                           frame_width, center_box))
+                tr.age += 1
+                tr.consecutive_miss += 1
+                tr.max_consecutive_miss = max(
+                    tr.max_consecutive_miss, tr.consecutive_miss
+                )
+                tr.miss_frame_indices.append(t_idx)
+
+        # Retire expired tracks (retained, not deleted).
+        completed.extend(tr for tr in tracks if tr.age > max_age)
+        tracks = [tr for tr in tracks if tr.age <= max_age]
+
+        # New tracks for unmatched detections, capped at max_tracks.
+        for i, box in enumerate(boxes):
+            if i in matched or len(tracks) >= max_tracks:
+                continue
+            tracks.append(
+                TrackState(
+                    track_id=next_id,
+                    start_frame_idx=t_idx,
+                    end_frame_idx=t_idx,
+                    last_bbox=box,
+                    boxes=[box],
+                )
+            )
+            next_id += 1
+
+    all_tracks = completed + tracks
+
+    def weighted_stability(tr: TrackState) -> float:
+        span = max(1, tr.end_frame_idx - tr.start_frame_idx + 1)
+        base = float(tr.hits) / span
+        if tr.max_consecutive_miss <= 1:
+            return base
+        penalty = min(0.5, (tr.max_consecutive_miss - 1) * 0.15)
+        return base * (1.0 - penalty)
+
+    scored = [(weighted_stability(tr), tr) for tr in all_tracks]
+    viable = [(s, tr) for s, tr in scored if s >= min_stability] or scored
+    viable.sort(key=lambda st: st[0], reverse=True)
+
+    results = []
+    for stability, tr in viable[:max_tracks]:
+        results.append(
+            TrackResult(
+                track_id=tr.track_id,
+                boxes=list(tr.boxes),
+                hits=tr.hits,
+                total_frames=total_frames,
+                stability=float(stability),
+                consecutive_miss_max=tr.max_consecutive_miss,
+                track_start_frame=tr.start_frame_idx,
+                track_end_frame=tr.end_frame_idx,
+            )
+        )
+    return results
+
+
+def _clamp_box(box: Box, h: int, w: int, fallback: Box) -> Box:
+    """Clamp a (possibly extrapolated) box into the frame; degenerate boxes
+    collapse to the fallback (the reference's _bbox_crop clamping,
+    face_detection.py:718-730)."""
+    x1 = int(max(0, min(box[0], w - 1)))
+    y1 = int(max(0, min(box[1], h - 1)))
+    x2 = int(max(x1 + 1, min(box[2], w)))
+    y2 = int(max(y1 + 1, min(box[3], h)))
+    if x2 - x1 < 2 and y2 - y1 < 2:
+        return fallback
+    return (x1, y1, x2, y2)
