@@ -1,0 +1,155 @@
+"""Batched window scoring engine.
+
+The reference scores every window with a sequential batch-1 forward
+(`predictor.py:212-244,566-571`); on TPU that wastes the MXU. This engine
+batches ALL windows (across tracks, chunks, refinement sub-windows) into
+padded power-of-two buckets and runs ONE jitted forward per bucket shape —
+the structural change behind the >=100 windows/sec/chip target
+(SURVEY.md §5.7). Optionally shards the batch axis over a data mesh so the
+same call scales to a multi-chip slice.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lipsync_tpu.inference.calibration import Calibrator
+from lipsync_tpu.models import (
+    LipSyncModel,
+    ModelConfig,
+    load_torch_checkpoint,
+)
+from lipsync_tpu.parallel import mesh as mesh_lib
+from lipsync_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _bucket_batch(n: int) -> int:
+    for b in _BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + _BATCH_BUCKETS[-1] - 1) // _BATCH_BUCKETS[-1]) * _BATCH_BUCKETS[-1]
+
+
+class ScoringEngine:
+    """Owns model variables and the jitted batched forward."""
+
+    def __init__(
+        self,
+        variables,
+        config: ModelConfig = ModelConfig(),
+        calibrator: Optional[Calibrator] = None,
+        use_bfloat16: Optional[bool] = None,
+        mesh: Optional[object] = None,
+    ):
+        if use_bfloat16 is None:
+            use_bfloat16 = jax.devices()[0].platform == "tpu"
+        dtype = jnp.bfloat16 if use_bfloat16 else jnp.float32
+        self.config = config
+        self.model = LipSyncModel(config, dtype=dtype)
+        self.calibrator = calibrator or Calibrator()
+        self.mesh = mesh
+        self._variables = jax.device_put(variables)
+        model = self.model
+        variables_ref = self._variables
+
+        def forward(visual, audio):
+            return model.apply(variables_ref, visual, audio)
+
+        if mesh is not None:
+            self._fwd = jax.jit(
+                forward,
+                in_shardings=(
+                    mesh_lib.batch_sharding(mesh),
+                    mesh_lib.batch_sharding(mesh),
+                ),
+                out_shardings=mesh_lib.batch_sharding(mesh),
+            )
+        else:
+            self._fwd = jax.jit(forward)
+
+    # ------------------------------------------------------------------
+    def score_logits(
+        self, visual: np.ndarray, audio: np.ndarray
+    ) -> np.ndarray:
+        """(N, T, H, W, 3) visual + (N, F, T_a) mel -> (N,) fp32 logits.
+
+        Pads N up to a power-of-two bucket (repeating the last row) so a
+        stream of requests reuses a handful of compiled programs.
+        """
+        n = visual.shape[0]
+        if n == 0:
+            return np.zeros((0,), np.float32)
+        if audio.ndim == 3:
+            audio = audio[..., None]  # (N, F, T_a, 1)
+        bucket = _bucket_batch(n)
+        if self.mesh is not None:
+            n_dev = int(np.prod([d for d in self.mesh.devices.shape]))
+            bucket = max(bucket, n_dev)
+            bucket = ((bucket + n_dev - 1) // n_dev) * n_dev
+        if bucket != n:
+            pad = bucket - n
+            visual = np.concatenate(
+                [visual, np.repeat(visual[-1:], pad, axis=0)], axis=0
+            )
+            audio = np.concatenate(
+                [audio, np.repeat(audio[-1:], pad, axis=0)], axis=0
+            )
+        v = jnp.asarray(visual, jnp.float32)
+        a = jnp.asarray(audio, jnp.float32)
+        if self.mesh is not None:
+            sh = mesh_lib.batch_sharding(self.mesh)
+            v, a = jax.device_put(v, sh), jax.device_put(a, sh)
+        logits = np.asarray(self._fwd(v, a), np.float32)
+        return logits[:n]
+
+    def score_probs(self, visual: np.ndarray, audio: np.ndarray) -> np.ndarray:
+        """Calibrated P(REAL) per window."""
+        return self.calibrator(self.score_logits(visual, audio))
+
+    def warmup(self) -> None:
+        """Compile the canonical window shape ahead of traffic."""
+        cfg = self.config
+        v = np.zeros((1, cfg.video_frames, cfg.crop_size, cfg.crop_size, 3),
+                     np.float32)
+        a = np.zeros((1, cfg.mel_bins, cfg.audio_frames), np.float32)
+        self.score_logits(v, a)
+
+
+def load_engine(
+    model_path: Path,
+    config: ModelConfig = ModelConfig(),
+    calibrator: Optional[Calibrator] = None,
+    use_bfloat16: Optional[bool] = None,
+    mesh: Optional[object] = None,
+) -> ScoringEngine:
+    """Load weights (torch ``.pth`` checkpoints via the converter, or orbax
+    directories) and build the engine. Mirrors the wrapper handling of
+    predictor.py:187-194."""
+    model_path = Path(model_path)
+    if not model_path.exists():
+        raise FileNotFoundError(f"Model weights not found at {model_path}")
+    if model_path.is_dir():  # orbax checkpoint directory
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        variables = ckptr.restore(model_path.resolve())
+    else:
+        variables = load_torch_checkpoint(
+            str(model_path),
+            num_temporal_layers=config.temporal_layers,
+            detect_artifacts=config.detect_artifacts,
+        )
+    logger.info("Loaded lip-sync model weights from %s", model_path)
+    return ScoringEngine(
+        variables, config, calibrator=calibrator,
+        use_bfloat16=use_bfloat16, mesh=mesh,
+    )

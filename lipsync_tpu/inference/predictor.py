@@ -1,0 +1,961 @@
+"""Production inference orchestrator.
+
+Re-design of `/root/reference/app/inference/predictor.py` (1,786 LoC) with
+identical decision behavior but TPU-batched execution:
+
+* All model passes — every track, chunk, and refinement sub-window — are
+  scored through :class:`ScoringEngine` in a handful of padded batched
+  forwards rather than the reference's sequential batch-1 loop.
+* Every aggregation rule and guard lives as a pure function in
+  :mod:`lipsync_tpu.inference.policy`; this class only orchestrates and
+  assembles the reference-compatible result dicts (the ~30-field response
+  contract in api/schemas.py is produced verbatim).
+
+Config knobs keep the reference names and defaults (config.py:8-81) —
+they are part of the behavioral contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from time import perf_counter
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from lipsync_tpu.inference import policy
+from lipsync_tpu.inference.calibration import Calibrator
+from lipsync_tpu.inference.engine import ScoringEngine, load_engine
+from lipsync_tpu.models import ModelConfig
+from lipsync_tpu.preprocessing import ingest
+from lipsync_tpu.preprocessing.audio import (
+    detect_voice_activity,
+    preprocess_audio,
+)
+from lipsync_tpu.preprocessing.video import (
+    ChunkedTrack,
+    preprocess_video,
+    preprocess_video_tracks,
+    preprocess_video_tracks_chunked,
+)
+from lipsync_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class PredictorConfig:
+    """Knobs mirroring Predictor.__init__ (predictor.py:34-77) and the
+    Settings object (config.py:8-81)."""
+
+    confidence_threshold: float = 0.5
+    uncertainty_margin: float = 0.05
+    confidence_smoothing: str = "median"  # none | median | trimmed_mean
+    trim_ratio: float = 0.1
+    max_tracks: int = 6
+    refine_margin: float = 0.08
+    refine_top_k: int = 2
+    chunk_size: int = 32
+    chunk_stride: int = 8
+    long_video_threshold_sec: float = 2.0
+    max_total_frames: Optional[int] = None
+    confidence_margin: float = 0.10
+    # Calibration
+    calibration_method: str = "none"
+    calibration_temperature: float = 1.0
+    calibration_platt_a: float = 1.0
+    calibration_platt_b: float = 0.0
+    calibration_isotonic_path: Optional[str] = None
+    # Mouth motion energy check
+    mouth_motion_check: bool = True
+    mouth_motion_low_threshold: float = 0.015
+    mouth_motion_fake_penalty: float = 0.10
+    audio_energy_high_threshold: float = -25.0
+    audio_energy_low_threshold: float = -50.0
+    # Sparse-real-signal guard
+    weak_real_gate: float = 0.08
+    weak_real_window_threshold: float = 0.30
+    # Temporal-minority fake gate
+    fake_vote_gate: float = 0.15
+    fake_vote_min_windows: int = 5
+
+    def __post_init__(self):
+        if self.confidence_smoothing not in {"none", "median", "trimmed_mean"}:
+            self.confidence_smoothing = "median"
+        self.trim_ratio = float(min(max(self.trim_ratio, 0.0), 0.49))
+        self.max_tracks = int(max(1, self.max_tracks))
+        self.uncertainty_margin = max(0.0, self.uncertainty_margin)
+        self.confidence_margin = max(0.0, self.confidence_margin)
+        self.refine_margin = max(0.0, self.refine_margin)
+        self.refine_top_k = int(max(1, self.refine_top_k))
+        self.fake_vote_gate = float(max(0.0, min(1.0, self.fake_vote_gate)))
+        self.fake_vote_min_windows = int(max(1, self.fake_vote_min_windows))
+
+
+class Predictor:
+    def __init__(
+        self,
+        model_path: Optional[Path] = None,
+        config: PredictorConfig = PredictorConfig(),
+        model_config: ModelConfig = ModelConfig(),
+        engine: Optional[ScoringEngine] = None,
+        detector_backend=None,
+    ):
+        self.cfg = config
+        self.model_config = model_config
+        self.backend = detector_backend
+        calibrator = Calibrator.from_config(
+            method=config.calibration_method,
+            temperature=config.calibration_temperature,
+            platt_a=config.calibration_platt_a,
+            platt_b=config.calibration_platt_b,
+            isotonic_path=config.calibration_isotonic_path,
+        )
+        if engine is not None:
+            self.engine = engine
+            self.engine.calibrator = calibrator
+        else:
+            if model_path is None:
+                raise ValueError("model_path or engine required")
+            self.engine = load_engine(
+                Path(model_path), model_config, calibrator=calibrator
+            )
+
+    # ── Core scoring helpers ──────────────────────────────────────────────
+
+    def _score_windows(
+        self, visuals: List[np.ndarray], audios: List[np.ndarray]
+    ) -> List[float]:
+        """Score a list of same-shape windows in one batched forward."""
+        if not visuals:
+            return []
+        v = np.stack(visuals, axis=0)
+        a = np.stack(audios, axis=0)
+        return [float(p) for p in self.engine.score_probs(v, a)]
+
+    def _temporal_smoothed_confidence(
+        self, visual: np.ndarray, audio: np.ndarray
+    ) -> Tuple[float, List[float], List[Tuple[int, int]]]:
+        """Full clip + 3 half-windows smoothing (predictor.py:295-331).
+        The full clip and the three equal-shape sub-windows are scored as
+        two batched calls (two static shapes)."""
+        t_v, t_a = visual.shape[0], audio.shape[1]
+        spans: List[Tuple[int, int]] = [(0, max(1, t_v))]
+        sub_v: List[np.ndarray] = []
+        sub_a: List[np.ndarray] = []
+        sub_spans: List[Tuple[int, int]] = []
+        win_v = max(12, t_v // 2)
+        win_a = max(48, t_a // 2)
+        if t_v >= win_v and t_a >= win_a:
+            for v_start in (0, max(0, (t_v - win_v) // 2), max(0, t_v - win_v)):
+                v_end = min(t_v, v_start + win_v)
+                a_start = int(round(v_start * (t_a / max(1, t_v))))
+                a_end = min(t_a, a_start + win_a)
+                if (v_end - v_start) >= 16 and (a_end - a_start) >= 64:
+                    sub_v.append(visual[v_start:v_end])
+                    sub_a.append(audio[:, a_start:a_end])
+                    sub_spans.append((v_start, v_end))
+        confidences = self._score_windows([visual], [audio])
+        if sub_v:
+            # Sub-windows share one shape -> one more batched call.
+            confidences += self._score_windows(sub_v, sub_a)
+            spans += sub_spans
+        agg = policy.robust_confidence(
+            confidences, self.cfg.confidence_smoothing, self.cfg.trim_ratio
+        )
+        return agg, confidences, spans
+
+    def _apply_mouth_motion_check(
+        self, visual: np.ndarray, audio: np.ndarray, confidence: float
+    ) -> Tuple[float, Dict[str, Any]]:
+        """Single-window penalty/override (predictor.py:421-461)."""
+        if not self.cfg.mouth_motion_check:
+            return confidence, {"check_result": "disabled"}
+        check = policy.mouth_motion_energy_check(
+            visual, audio,
+            motion_low_threshold=self.cfg.mouth_motion_low_threshold,
+            audio_high_threshold=self.cfg.audio_energy_high_threshold,
+            audio_low_threshold=self.cfg.audio_energy_low_threshold,
+        )
+        adjusted = confidence
+        if check["check_result"] == "likely_fake":
+            adjusted = float(
+                max(0.0, confidence - self.cfg.mouth_motion_fake_penalty)
+            )
+        elif check["check_result"] == "uncertain":
+            if confidence < self.cfg.confidence_threshold:
+                adjusted = float(self.cfg.confidence_threshold)
+        return adjusted, check
+
+    def _audio_or_silence(
+        self, audio_path: Path, target_frames: Optional[int]
+    ) -> np.ndarray:
+        """Load the mel spectrogram; if the container has no usable audio
+        stream, degrade to silence of the video's duration rather than
+        erroring the request (the reference 500s here — an intentional
+        robustness improvement, consistent with its VAD all-speech
+        fallback, audio.py:232-237)."""
+        try:
+            return preprocess_audio(audio_path, target_frames=target_frames)
+        except ValueError:
+            info = ingest.probe(audio_path)
+            dur = max(1.0, info.duration_sec)
+            logger.warning(
+                "No audio stream in %s — scoring against %.1fs of silence",
+                audio_path, dur,
+            )
+            from lipsync_tpu.preprocessing.audio import preprocess_audio_pcm
+
+            silence = np.zeros(int(dur * 16000), np.float32)
+            return preprocess_audio_pcm(silence, target_frames=target_frames)
+
+    # ── Public API ────────────────────────────────────────────────────────
+
+    def predict_from_path(self, video_path: Path) -> Dict[str, Any]:
+        """Single-window scoring of a file (predictor.py:1740-1781)."""
+        video_path = Path(video_path)
+        if not video_path.is_file():
+            raise FileNotFoundError(f"Video file not found: {video_path}")
+        visual = preprocess_video(
+            video_path, backend=self.backend,
+            max_frames=self.model_config.video_frames,
+        )
+        audio = self._audio_or_silence(
+            video_path, self.model_config.audio_frames
+        )
+        confidence = self._score_windows([visual], [audio])[0]
+        is_real = confidence >= self.cfg.confidence_threshold
+        return {
+            "verdict": "real" if is_real else "fake",
+            "is_real": is_real,
+            "is_fake": not is_real,
+            "confidence": confidence,
+            "manipulation_probability": float(1.0 - confidence),
+        }
+
+    def predict(self, video_path: Path) -> Dict[str, Any]:
+        """Full production pipeline on a file (the predict_from_upload logic,
+        predictor.py:1277-1738, minus the upload temp-file handling which
+        lives in the serving layer)."""
+        t_start = perf_counter()
+        video_path = Path(video_path)
+        info = ingest.probe(video_path)
+        is_long = info.nb_frames > self.cfg.chunk_size
+        if is_long:
+            return self._predict_long_video(video_path, video_path, t_start)
+        return self._predict_short_video(video_path, video_path, t_start)
+
+    # Aliases for reference API familiarity.
+    predict_from_upload_path = predict
+
+    def close(self) -> None:
+        pass
+
+    # ── Short-video path (predictor.py:1307-1733) ─────────────────────────
+
+    def _predict_short_video(
+        self, video_path: Path, audio_path: Path, t_start: float
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        t_pre_start = perf_counter()
+        tracks = preprocess_video_tracks(
+            video_path,
+            max_tracks=cfg.max_tracks,
+            max_frames=self.model_config.video_frames,
+            backend=self.backend,
+            max_total_frames=cfg.max_total_frames,
+        )
+        audio_np = self._audio_or_silence(
+            audio_path, self.model_config.audio_frames
+        )
+        t_pre_end = perf_counter()
+        logger.info(
+            "Preprocessing completed in %.1f ms, %d face track(s)",
+            (t_pre_end - t_pre_start) * 1e3, len(tracks),
+        )
+
+        if not tracks:
+            return self._predict_single_face(
+                video_path, audio_np, t_start, t_pre_end - t_pre_start
+            )
+
+        # Phase 1: ALL tracks scored in one batched forward.
+        t_inf_start = perf_counter()
+        clips = [tr["clip"] for tr in tracks]
+        confs = self._score_windows(clips, [audio_np] * len(clips))
+
+        track_results: List[Dict[str, Any]] = []
+        track_clip_map: Dict[int, np.ndarray] = {}
+        for tr, raw_confidence in zip(tracks, confs):
+            track_id = int(tr["track_id"])
+            visual_np = tr["clip"]
+            track_clip_map[track_id] = visual_np
+            stability = float(tr.get("stability", 0.0))
+            speaking = policy.speaking_alignment_score(visual_np, audio_np)
+            selection = 0.65 * raw_confidence + 0.20 * stability + 0.15 * speaking
+            is_real = raw_confidence >= cfg.confidence_threshold
+            track_results.append({
+                "track_id": track_id,
+                "is_real": is_real,
+                "is_fake": not is_real,
+                "confidence": float(raw_confidence),
+                "raw_confidence": float(raw_confidence),
+                "manipulation_probability": float(1.0 - raw_confidence),
+                "stability": stability,
+                "hits": int(tr.get("hits", 0)),
+                "total_frames": int(tr.get("total_frames", 0)),
+                "speaking_activity": float(speaking),
+                "selection_score": float(selection),
+                "window_confidences": [float(raw_confidence)],
+                "window_spans": [(0, int(visual_np.shape[0]))],
+                "consecutive_miss_max": int(tr.get("consecutive_miss_max", 0)),
+            })
+
+        # Adaptive phase 2: refine only when competition is close
+        # (predictor.py:1449-1487).
+        quick_sorted = sorted(
+            track_results, key=lambda t: t["selection_score"], reverse=True
+        )
+        quick_margin = (
+            quick_sorted[0]["selection_score"] - quick_sorted[1]["selection_score"]
+            if len(quick_sorted) > 1 else 1.0
+        )
+        needs_refine = quick_margin < cfg.refine_margin
+        if needs_refine:
+            for tr in quick_sorted[: cfg.refine_top_k]:
+                visual_np = track_clip_map[int(tr["track_id"])]
+                smoothed, samples, spans = self._temporal_smoothed_confidence(
+                    visual_np, audio_np
+                )
+                tr["confidence"] = float(smoothed)
+                tr["manipulation_probability"] = float(1.0 - smoothed)
+                tr["is_real"] = bool(smoothed >= cfg.confidence_threshold)
+                tr["is_fake"] = not tr["is_real"]
+                tr["window_confidences"] = [float(v) for v in samples]
+                tr["window_spans"] = [(int(s), int(e)) for s, e in spans]
+                tr["selection_score"] = (
+                    0.55 * tr["confidence"]
+                    + 0.25 * float(tr["stability"])
+                    + 0.20 * float(tr["speaking_activity"])
+                )
+        t_inf_end = perf_counter()
+
+        sorted_tracks = sorted(
+            track_results, key=lambda t: t["selection_score"], reverse=True
+        )
+        best_result = sorted_tracks[0]
+        best_track_id = int(best_result["track_id"])
+        selection_margin = (
+            float(sorted_tracks[0]["selection_score"]
+                  - sorted_tracks[1]["selection_score"])
+            if len(sorted_tracks) > 1 else 1.0
+        )
+        selection_uncertain = selection_margin < cfg.uncertainty_margin
+        if len(sorted_tracks) > 1:
+            conf_gap = abs(
+                sorted_tracks[0]["confidence"] - sorted_tracks[1]["confidence"]
+            )
+            confidence_margin_uncertain = conf_gap < cfg.confidence_margin
+        else:
+            conf_gap, confidence_margin_uncertain = 1.0, False
+
+        # Per-window winners (skip index 0 = full clip, predictor.py:1538-1583).
+        max_windows = max(
+            (len(t.get("window_confidences", [])) for t in sorted_tracks),
+            default=0,
+        )
+        window_results: List[Dict[str, Any]] = []
+        if max_windows > 1:
+            t_a = audio_np.shape[1]
+            for w_idx in range(1, max_windows):
+                candidates = [
+                    t for t in sorted_tracks
+                    if len(t.get("window_confidences", [])) > w_idx
+                ]
+                if not candidates:
+                    continue
+
+                def window_score(t):
+                    start, end = t["window_spans"][w_idx]
+                    clip = track_clip_map[int(t["track_id"])]
+                    t_v = clip.shape[0]
+                    a_start = int(round(start * (t_a / max(1, t_v))))
+                    a_end = int(round(end * (t_a / max(1, t_v))))
+                    a_start = max(0, min(a_start, t_a - 1))
+                    a_end = max(a_start + 1, min(a_end, t_a))
+                    win_speaking = policy.speaking_alignment_score(
+                        clip[start:end], audio_np[:, a_start:a_end]
+                    )
+                    return (
+                        0.75 * float(t["window_confidences"][w_idx])
+                        + 0.15 * float(t.get("stability", 0.0))
+                        + 0.10 * win_speaking
+                    )
+
+                win_best = max(candidates, key=window_score)
+                start, end = win_best["window_spans"][w_idx]
+                win_conf = float(win_best["window_confidences"][w_idx])
+                window_results.append({
+                    "window_index": int(w_idx - 1),
+                    "frame_start": int(start),
+                    "frame_end": int(end),
+                    "selected_track_id": int(win_best["track_id"]),
+                    "confidence": win_conf,
+                    "is_real": bool(win_conf >= cfg.confidence_threshold),
+                    "is_fake": bool(win_conf < cfg.confidence_threshold),
+                })
+
+        speaker_timeline = policy.compress_speaker_timeline(
+            window_results, with_time=False
+        )
+
+        # Speaking-track policies (threshold 0.55 on the short path,
+        # predictor.py:1606-1631).
+        case, s_count, s_real, s_fake, verdicts = policy.speaker_policies(
+            sorted_tracks, bool(best_result["is_fake"]),
+            speaking_activity_min=0.55,
+        )
+
+        if window_results:
+            window_conf = [float(w["confidence"]) for w in window_results]
+            window_agg_conf = policy.robust_confidence(
+                window_conf, cfg.confidence_smoothing, cfg.trim_ratio
+            )
+            window_agg_is_real = window_agg_conf >= cfg.confidence_threshold
+            unique_speakers = len(
+                {w["selected_track_id"] for w in window_results}
+            )
+        else:
+            window_agg_conf = float(best_result["confidence"])
+            window_agg_is_real = bool(best_result["is_real"])
+            unique_speakers = 1
+
+        final_is_real = bool(best_result["is_real"])
+        final_confidence = float(best_result["confidence"])
+        if unique_speakers > 1:
+            final_is_real = bool(window_agg_is_real)
+            final_confidence = float(window_agg_conf)
+
+        best_visual = track_clip_map.get(best_track_id)
+        if best_visual is not None:
+            final_confidence, mouth_check = self._apply_mouth_motion_check(
+                best_visual, audio_np, final_confidence
+            )
+            final_is_real = final_confidence >= cfg.confidence_threshold
+        else:
+            mouth_check = {"check_result": "no_data"}
+
+        t_end = perf_counter()
+        logger.info(
+            "Inference completed: %d tracks, best=%s, conf=%.4f, "
+            "total_ms=%.1f infer_ms=%.1f",
+            len(track_results), best_track_id, final_confidence,
+            (t_end - t_start) * 1e3, (t_inf_end - t_inf_start) * 1e3,
+        )
+
+        result: Dict[str, Any] = {
+            "verdict": "real" if final_is_real else "fake",
+            "is_real": final_is_real,
+            "is_fake": not final_is_real,
+            "confidence": final_confidence,
+            "manipulation_probability": float(1.0 - final_confidence),
+            "selection_uncertain": selection_uncertain,
+            "selection_margin": selection_margin,
+            "confidence_margin_uncertain": bool(confidence_margin_uncertain),
+            "confidence_gap": float(conf_gap),
+            "turn_taking_detected": bool(unique_speakers > 1),
+            "speaker_case": case,
+            "speaking_tracks_count": s_count,
+            "speaking_real_count": s_real,
+            "speaking_fake_count": s_fake,
+            "verdicts": verdicts,
+            "window_results": window_results or None,
+            "speaker_timeline": speaker_timeline or None,
+            "mouth_motion_check": mouth_check,
+            "tracks": sorted_tracks,
+            "selected_track_id": best_track_id,
+        }
+
+        turn_taking = unique_speakers > 1
+        if turn_taking:
+            spans_str = " → ".join(
+                f"track_{seg['selected_track_id']} "
+                f"(frames {seg['frame_start']}-{seg['frame_end']})"
+                for seg in speaker_timeline
+            )
+            result["detail"] = (
+                f"Speaker turn-taking detected across {len(speaker_timeline)} "
+                f"segment(s): {spans_str}. Final verdict is window-aggregated "
+                f"(confidence={final_confidence:.4f})."
+            )
+            result["selection_uncertain"] = False
+        elif selection_uncertain:
+            result["detail"] = (
+                f"Track selection uncertain: top-two selection scores are too "
+                f"close (margin={selection_margin:.4f}, "
+                f"threshold={cfg.uncertainty_margin:.4f}). Consider using a "
+                f"longer clip for more reliable results."
+            )
+        return result
+
+    def _predict_single_face(
+        self,
+        video_path: Path,
+        audio_np: np.ndarray,
+        t_start: float,
+        preproc_sec: float,
+    ) -> Dict[str, Any]:
+        """No-tracks fallback (predictor.py:1330-1400)."""
+        visual_np = preprocess_video(
+            video_path, backend=self.backend,
+            max_frames=self.model_config.video_frames,
+            max_total_frames=self.cfg.max_total_frames,
+        )
+        confidence = self._score_windows([visual_np], [audio_np])[0]
+        confidence, mouth_check = self._apply_mouth_motion_check(
+            visual_np, audio_np, confidence
+        )
+        is_real = confidence >= self.cfg.confidence_threshold
+        return {
+            "verdict": "real" if is_real else "fake",
+            "is_real": is_real,
+            "is_fake": not is_real,
+            "confidence": float(confidence),
+            "manipulation_probability": float(1.0 - confidence),
+            "tracks": None,
+            "selected_track_id": None,
+            "mouth_motion_check": mouth_check,
+        }
+
+    # ── Long-video path (predictor.py:582-1275) ───────────────────────────
+
+    def _predict_long_video(
+        self, video_path: Path, audio_path: Path, t_start: float
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        t_pre_start = perf_counter()
+        audio_np_full = self._audio_or_silence(audio_path, None)  # (F, T_full)
+        total_a_frames = audio_np_full.shape[1]
+        try:
+            vad_mask, _ = detect_voice_activity(audio_path)
+        except Exception as e:
+            logger.warning("VAD detection failed, using fallback: %s", e)
+            vad_mask = np.ones(total_a_frames, dtype=bool)
+
+        chunked_tracks, fps, total_v_frames = preprocess_video_tracks_chunked(
+            video_path,
+            chunk_size=cfg.chunk_size,
+            stride=cfg.chunk_stride,
+            max_tracks=cfg.max_tracks,
+            max_total_frames=cfg.max_total_frames,
+            backend=self.backend,
+        )
+        t_pre_end = perf_counter()
+        logger.info(
+            "Long-video preprocessing: %.1fs video, %d frames, %d audio "
+            "frames, %d track(s), %.1f ms",
+            total_v_frames / max(1.0, fps), total_v_frames, total_a_frames,
+            len(chunked_tracks), (t_pre_end - t_pre_start) * 1e3,
+        )
+        if not chunked_tracks:
+            return self._no_tracks_result(total_v_frames, fps)
+
+        # ── Score EVERY (track, chunk) window in one batched pass ─────────
+        t_inf_start = perf_counter()
+        all_visuals: List[np.ndarray] = []
+        all_audios: List[np.ndarray] = []
+        index: List[Tuple[int, int]] = []  # (track_idx, chunk_idx)
+        for ti, tr in enumerate(chunked_tracks):
+            for ci in range(tr.num_chunks):
+                all_visuals.append(tr.chunk(ci))
+                all_audios.append(
+                    policy.align_audio_chunk(
+                        audio_np_full, tr.abs_chunk_starts[ci], total_v_frames,
+                        chunk_a_size=self.model_config.audio_frames,
+                    )
+                )
+                index.append((ti, ci))
+        all_probs = self._score_windows(all_visuals, all_audios)
+        probs_by_track: Dict[int, List[float]] = {}
+        for (ti, ci), p in zip(index, all_probs):
+            probs_by_track.setdefault(ti, []).append(p)
+
+        track_results: List[Dict[str, Any]] = []
+        for ti, tr in enumerate(chunked_tracks):
+            chunk_confs = probs_by_track[ti]
+            agg_conf = policy.robust_confidence(
+                chunk_confs, cfg.confidence_smoothing, cfg.trim_ratio
+            )
+            mid = tr.num_chunks // 2
+            speaking = policy.speaking_alignment_score(
+                tr.chunk(mid),
+                policy.align_audio_chunk(
+                    audio_np_full, tr.abs_chunk_starts[mid], total_v_frames,
+                    chunk_a_size=self.model_config.audio_frames,
+                ),
+            )
+            selection = 0.65 * agg_conf + 0.20 * tr.stability + 0.15 * speaking
+            is_real = agg_conf >= cfg.confidence_threshold
+            track_results.append({
+                "track_id": tr.track_id,
+                "is_real": is_real,
+                "is_fake": not is_real,
+                "confidence": float(agg_conf),
+                "raw_confidence": float(chunk_confs[0]) if chunk_confs else float(agg_conf),
+                "manipulation_probability": float(1.0 - agg_conf),
+                "stability": tr.stability,
+                "hits": tr.hits,
+                "total_frames": total_v_frames,
+                "track_start_frame": tr.track_start_frame,
+                "track_end_frame": tr.track_end_frame,
+                "speaking_activity": float(speaking),
+                "selection_score": float(selection),
+                "window_confidences": [float(c) for c in chunk_confs],
+                "window_spans": [
+                    (int(s), int(s + cfg.chunk_size))
+                    for s in tr.abs_chunk_starts
+                ],
+                "consecutive_miss_max": tr.consecutive_miss_max,
+                "_track_idx": ti,
+            })
+        t_inf_end = perf_counter()
+
+        sorted_tracks = sorted(
+            track_results, key=lambda t: t["selection_score"], reverse=True
+        )
+        best_result = sorted_tracks[0]
+        best_track_id = int(best_result["track_id"])
+        selection_margin = (
+            float(sorted_tracks[0]["selection_score"]
+                  - sorted_tracks[1]["selection_score"])
+            if len(sorted_tracks) > 1 else 1.0
+        )
+        selection_uncertain = selection_margin < cfg.uncertainty_margin
+        if len(sorted_tracks) > 1:
+            conf_gap = abs(
+                sorted_tracks[0]["confidence"] - sorted_tracks[1]["confidence"]
+            )
+            confidence_margin_uncertain = conf_gap < cfg.confidence_margin
+        else:
+            conf_gap, confidence_margin_uncertain = 1.0, False
+
+        total_chunks = sum(len(t["window_confidences"]) for t in sorted_tracks)
+        max_chunks = max(
+            (len(t["window_confidences"]) for t in sorted_tracks), default=0
+        )
+
+        # Per-time-position window winners over ABSOLUTE starts
+        # (predictor.py:749-830).
+        by_abs_start: Dict[int, List[Tuple[Dict[str, Any], int]]] = {}
+        for t in sorted_tracks:
+            for i, span in enumerate(t["window_spans"]):
+                by_abs_start.setdefault(int(span[0]), []).append((t, i))
+
+        chunk_window_results: List[Dict[str, Any]] = []
+        for abs_start in sorted(by_abs_start):
+            candidates = by_abs_start[abs_start]
+            win_tr, win_i = max(
+                candidates,
+                key=lambda c: (
+                    0.75 * float(c[0]["window_confidences"][c[1]])
+                    + 0.25 * float(c[0].get("stability", 0.0))
+                ),
+            )
+            v_start = int(win_tr["window_spans"][win_i][0])
+            v_end = int(win_tr["window_spans"][win_i][1])
+            win_conf = float(win_tr["window_confidences"][win_i])
+            tr_obj = chunked_tracks[win_tr["_track_idx"]]
+            win_speaking = float(win_tr.get("speaking_activity", 0.5))
+            if win_i < tr_obj.num_chunks:
+                try:
+                    win_speaking = policy.speaking_alignment_score(
+                        tr_obj.chunk(win_i),
+                        policy.align_audio_chunk(
+                            audio_np_full, v_start, total_v_frames,
+                            chunk_a_size=self.model_config.audio_frames,
+                        ),
+                    )
+                except Exception:
+                    pass
+            time_start = float(v_start / max(1.0, fps))
+            time_end = float(v_end / max(1.0, fps))
+            vad_cov = policy.window_vad_coverage(vad_mask, time_start, time_end)
+            chunk_window_results.append({
+                "window_index": len(chunk_window_results),
+                "frame_start": v_start,
+                "frame_end": v_end,
+                "time_start_sec": round(time_start, 3),
+                "time_end_sec": round(time_end, 3),
+                "selected_track_id": int(win_tr["track_id"]),
+                "confidence": win_conf,
+                "speaking_activity": float(win_speaking),
+                "vad_coverage": round(vad_cov, 3),
+                "is_real": bool(win_conf >= cfg.confidence_threshold),
+                "is_fake": bool(win_conf < cfg.confidence_threshold),
+            })
+
+        speaker_timeline = policy.compress_speaker_timeline(
+            chunk_window_results, with_time=True
+        )
+        unique_speakers = len(
+            {w["selected_track_id"] for w in chunk_window_results}
+        )
+        turn_taking_detected = unique_speakers > 1
+
+        # ── Guard cascade ────────────────────────────────────────────────
+        all_chunk_confs = [float(c) for c in best_result["window_confidences"]]
+        if chunk_window_results:
+            window_confs = [float(w["confidence"]) for w in chunk_window_results]
+            window_speaking = [
+                float(w.get("speaking_activity", 0.5))
+                for w in chunk_window_results
+            ]
+            window_vad = [
+                float(w.get("vad_coverage", 0.5)) for w in chunk_window_results
+            ]
+        else:
+            window_confs = all_chunk_confs
+            window_speaking = [
+                float(best_result.get("speaking_activity", 0.5))
+            ] * len(window_confs)
+            window_vad = None
+
+        guards = policy.run_guard_cascade(
+            policy.GuardInputs(
+                window_confs=np.asarray(window_confs, np.float32),
+                window_speaking=np.asarray(window_speaking, np.float32),
+                window_vad=(
+                    None if window_vad is None
+                    else np.asarray(window_vad, np.float32)
+                ),
+                confidence_threshold=cfg.confidence_threshold,
+                smoothing=cfg.confidence_smoothing,
+                trim_ratio=cfg.trim_ratio,
+                fake_vote_gate=cfg.fake_vote_gate,
+                fake_vote_min_windows=cfg.fake_vote_min_windows,
+                weak_real_gate=cfg.weak_real_gate,
+                weak_real_window_threshold=cfg.weak_real_window_threshold,
+            )
+        )
+        final_confidence = guards.final_confidence
+        final_is_real = guards.final_is_real
+        override_reason = guards.override_reason
+        if guards.window_consensus_uncertain or guards.sparse_real_guard_applied:
+            selection_uncertain = True
+
+        # ── Speaker policies ─────────────────────────────────────────────
+        case, s_count, s_real, s_fake, track_policy_verdicts = (
+            policy.speaker_policies(
+                sorted_tracks, bool(best_result["is_fake"]),
+                speaking_activity_min=0.50,
+            )
+        )
+        conservative_override = bool(
+            guards.window_consensus_uncertain and final_is_real
+        )
+        if conservative_override:
+            verdicts = {k: False for k in track_policy_verdicts}
+            case = "mixed_window_consensus_uncertain"
+        else:
+            verdicts = track_policy_verdicts
+        if guards.sparse_real_guard_applied:
+            case = "uncertain_override_sparse_real"
+            verdicts = {k: False for k in verdicts}
+
+        # ── Multi-window mouth motion check on best track ────────────────
+        mouth_check: Dict[str, Any] = {"check_result": "no_data"}
+        mouth_motion_override = False
+        conf_before_mm = final_confidence
+        best_tr_obj = chunked_tracks[best_result["_track_idx"]]
+        if best_tr_obj.num_chunks > 0:
+            indices = policy.sample_check_indices(best_tr_obj.num_chunks)
+            checks = []
+            for idx in indices:
+                checks.append(
+                    policy.mouth_motion_energy_check(
+                        best_tr_obj.chunk(idx),
+                        policy.align_audio_chunk(
+                            audio_np_full, best_tr_obj.abs_chunk_starts[idx],
+                            total_v_frames,
+                            chunk_a_size=self.model_config.audio_frames,
+                        ),
+                        motion_low_threshold=cfg.mouth_motion_low_threshold,
+                        audio_high_threshold=cfg.audio_energy_high_threshold,
+                        audio_low_threshold=cfg.audio_energy_low_threshold,
+                    )
+                )
+            mouth_check = policy.aggregate_mouth_motion_check(checks)
+            if (
+                mouth_check["check_result"] == "likely_fake"
+                and cfg.mouth_motion_check
+            ):
+                final_confidence = float(
+                    max(0.0, final_confidence - cfg.mouth_motion_fake_penalty)
+                )
+            elif (
+                mouth_check["check_result"] == "uncertain"
+                and cfg.mouth_motion_check
+            ):
+                if final_confidence < cfg.confidence_threshold:
+                    conf_before_mm = final_confidence
+                    mouth_motion_override = True
+                    selection_uncertain = True
+                    override_reason = override_reason or "mouth_motion_uncertain"
+                    final_confidence = float(cfg.confidence_threshold)
+                    case = "uncertain_override_mouth_motion"
+                    verdicts = {k: False for k in verdicts}
+            final_is_real = final_confidence >= cfg.confidence_threshold
+
+        t_end = perf_counter()
+        logger.info(
+            "Long-video inference done: tracks=%d, chunks=%d, "
+            "final_conf=%.4f, fake_vote_ratio=%.2f, total_ms=%.1f "
+            "preproc_ms=%.1f infer_ms=%.1f",
+            len(track_results), total_chunks, final_confidence,
+            guards.fake_vote_ratio, (t_end - t_start) * 1e3,
+            (t_pre_end - t_pre_start) * 1e3, (t_inf_end - t_inf_start) * 1e3,
+        )
+
+        # ── Detail message (predictor.py:1177-1233) ──────────────────────
+        dur_str = f"{total_v_frames / max(1.0, fps):.1f}s"
+        if turn_taking_detected:
+            spans_str = " → ".join(
+                f"track_{seg['selected_track_id']} "
+                f"({seg.get('time_start_sec', 0):.1f}s–"
+                f"{seg.get('time_end_sec', 0):.1f}s)"
+                for seg in speaker_timeline
+            )
+            detail = (
+                f"Long video ({dur_str}, {total_chunks} chunks analyzed). "
+                f"Speaker turn-taking detected: {spans_str}. Final verdict "
+                f"window-aggregated (confidence={final_confidence:.4f})."
+            )
+            selection_uncertain = False
+        elif mouth_motion_override:
+            detail = (
+                f"Long video ({dur_str}, {total_chunks} chunks). Mouth motion "
+                f"check → uncertain (audio={mouth_check['audio_energy']:.1f} dB, "
+                f"motion={mouth_check['mouth_motion_energy']:.5f}): quiet audio "
+                f"+ near-zero mouth motion — cannot distinguish fake from "
+                f"natural still speech. Conservative REAL verdict returned "
+                f"(raw model conf={conf_before_mm:.4f}, lifted to "
+                f"threshold={final_confidence:.4f})."
+            )
+        elif guards.sparse_real_guard_applied:
+            detail = (
+                f"Long video ({dur_str}, {total_chunks} chunks). "
+                f"Sparse-real-signal guard: model confidence very low "
+                f"({guards.conf_before_sparse:.4f}) but window "
+                f"{int(np.argmax(window_confs))} showed real-like signal "
+                f"(conf={max(window_confs):.3f}). Conservative REAL verdict "
+                f"(lifted to threshold={final_confidence:.4f})."
+            )
+        elif guards.window_consensus_uncertain:
+            detail = (
+                f"Long video ({dur_str}, {total_chunks} chunks). Window "
+                f"consensus is mixed (strong_real={guards.strong_real}, "
+                f"strong_fake={guards.strong_fake}, "
+                f"fake_vote_ratio={guards.fake_vote_ratio:.2f}). Returning "
+                f"conservative REAL verdict "
+                f"(confidence={final_confidence:.4f})."
+            )
+        elif selection_uncertain:
+            detail = (
+                f"Long video ({dur_str}, {total_chunks} chunks). Track "
+                f"selection uncertain (margin={selection_margin:.4f})."
+            )
+        else:
+            drift_note = (
+                f" ⚠ Temporal drift detected: first-half "
+                f"avg={guards.first_half_avg:.3f}, second-half "
+                f"avg={guards.second_half_avg:.3f} "
+                f"(drop={guards.temporal_drift:.3f})."
+                if guards.temporal_confidence_drop else ""
+            )
+            detail = (
+                f"Long video ({dur_str}). Analyzed {total_chunks} chunk(s) "
+                f"across full clip. Dominant speaker: track {best_track_id} "
+                f"(confidence={final_confidence:.4f}).{drift_note}"
+            )
+
+        for t in sorted_tracks:
+            t.pop("_track_idx", None)
+        verdict = (
+            "uncertain" if override_reason
+            else ("real" if final_is_real else "fake")
+        )
+        return {
+            "verdict": verdict,
+            "is_real": final_is_real,
+            "is_fake": not final_is_real,
+            "confidence": float(final_confidence),
+            "manipulation_probability": float(1.0 - final_confidence),
+            "tracks": sorted_tracks,
+            "selected_track_id": best_track_id,
+            "selection_uncertain": selection_uncertain,
+            "selection_margin": float(selection_margin),
+            "turn_taking_detected": turn_taking_detected,
+            "speaker_case": case,
+            "speaking_tracks_count": s_count,
+            "speaking_real_count": s_real,
+            "speaking_fake_count": s_fake,
+            "verdicts": verdicts,
+            "track_policy_verdicts": track_policy_verdicts,
+            "conservative_override_applied": conservative_override,
+            "window_results": chunk_window_results or None,
+            "speaker_timeline": speaker_timeline or None,
+            "video_duration_sec": float(total_v_frames / max(1.0, fps)),
+            "total_chunks_analyzed": int(total_chunks),
+            "chunks_per_track_max": int(max_chunks),
+            "window_weighted_confidence": float(
+                guards.weighted_window_confidence
+            ),
+            "window_fake_vote_ratio": float(guards.fake_vote_ratio),
+            "window_consensus_uncertain": bool(
+                guards.window_consensus_uncertain
+            ),
+            "strict_fake_evidence": bool(guards.strict_fake_evidence),
+            "confidence_margin_uncertain": bool(confidence_margin_uncertain),
+            "confidence_gap": float(conf_gap),
+            "mouth_motion_check": mouth_check,
+            "sparse_real_guard_applied": bool(
+                guards.sparse_real_guard_applied
+            ),
+            "mouth_motion_override_applied": bool(mouth_motion_override),
+            "override_reason": override_reason,
+            "temporal_confidence_drop": bool(guards.temporal_confidence_drop),
+            "temporal_drift": round(guards.temporal_drift, 4),
+            "first_half_avg_confidence": round(guards.first_half_avg, 4),
+            "second_half_avg_confidence": round(guards.second_half_avg, 4),
+            "detail": detail,
+        }
+
+    @staticmethod
+    def _no_tracks_result(total_v_frames: int, fps: float) -> Dict[str, Any]:
+        """Zero-track long-video result (predictor.py:635-660)."""
+        return {
+            "verdict": "uncertain",
+            "is_real": False,
+            "is_fake": False,
+            "confidence": 0.5,
+            "manipulation_probability": 0.5,
+            "tracks": None,
+            "selected_track_id": None,
+            "turn_taking_detected": False,
+            "speaker_case": "no_face_detected",
+            "speaking_tracks_count": 0,
+            "speaking_real_count": 0,
+            "speaking_fake_count": 0,
+            "verdicts": {
+                "active_speaker_policy_is_fake": False,
+                "any_speaking_fake_policy_is_fake": False,
+                "all_speaking_fake_policy_is_fake": False,
+                "majority_speaking_fake_policy_is_fake": False,
+            },
+            "window_results": None,
+            "speaker_timeline": None,
+            "detail": "No face tracks detected in video.",
+            "video_duration_sec": float(total_v_frames / max(1.0, fps)),
+            "total_chunks_analyzed": 0,
+        }

@@ -1,0 +1,215 @@
+"""Predictor orchestration + scoring engine tests.
+
+The engine is exercised with a real (small) model; the Predictor's
+short/long orchestration is exercised end-to-end on synthetic video files
+with a deterministic stubbed scorer, which makes the decision paths
+(refinement, window winners, guards, mouth-motion overrides) testable
+without compiling the full-size model on one CPU core.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lipsync_tpu.inference.calibration import Calibrator
+from lipsync_tpu.inference.engine import ScoringEngine
+from lipsync_tpu.inference.predictor import Predictor, PredictorConfig
+from lipsync_tpu.models import LipSyncModel, ModelConfig
+from lipsync_tpu.preprocessing.face_detection import FakeDetector
+from tests.fixtures import synthetic_frames, write_video
+
+TINY = ModelConfig(video_frames=8, crop_size=32, mel_bins=80, audio_frames=32)
+BOX = (60, 70, 110, 105)
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    model = LipSyncModel(TINY)
+    visual = np.zeros((1, 8, 32, 32, 3), np.float32)
+    audio = np.zeros((1, 80, 32, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), visual, audio)
+    return ScoringEngine(variables, TINY, use_bfloat16=False)
+
+
+def test_engine_batch_consistency(tiny_engine, rng):
+    v = rng.rand(5, 8, 32, 32, 3).astype(np.float32)
+    a = (rng.rand(5, 80, 32).astype(np.float32) * 60) - 60
+    batch = tiny_engine.score_probs(v, a)
+    assert batch.shape == (5,)
+    singles = [
+        tiny_engine.score_probs(v[i : i + 1], a[i : i + 1])[0]
+        for i in range(5)
+    ]
+    np.testing.assert_allclose(batch, singles, atol=2e-5)
+    assert np.all((batch >= 0) & (batch <= 1))
+
+
+def test_engine_calibration_applied(tiny_engine, rng):
+    v = rng.rand(2, 8, 32, 32, 3).astype(np.float32)
+    a = (rng.rand(2, 80, 32).astype(np.float32) * 60) - 60
+    logits = tiny_engine.score_logits(v, a)
+    tiny_engine.calibrator = Calibrator(method="temperature", temperature=2.0)
+    probs = tiny_engine.score_probs(v, a)
+    expected = 1 / (1 + np.exp(-logits / 2.0))
+    np.testing.assert_allclose(probs, expected, atol=1e-5)
+    tiny_engine.calibrator = Calibrator()
+
+
+# ── Orchestration with stubbed scoring ────────────────────────────────────
+
+
+class StubEngine:
+    """Deterministic scorer: P(REAL) from a per-call script, else from the
+    window's mean pixel value (stable, shape-independent)."""
+
+    def __init__(self, script=None):
+        self.script = list(script) if script else None
+        self.calls = []
+        self.calibrator = Calibrator()
+        self.config = TINY
+
+    def score_probs(self, visual, audio):
+        n = visual.shape[0]
+        self.calls.append(n)
+        if self.script is not None:
+            out = [
+                self.script.pop(0) if self.script else 0.5 for _ in range(n)
+            ]
+            return np.asarray(out, np.float32)
+        base = visual.reshape(n, -1).mean(axis=1)
+        return np.clip(0.2 + base, 0.0, 1.0).astype(np.float32)
+
+    def score_logits(self, visual, audio):
+        p = self.score_probs(visual, audio)
+        return np.log(p / (1 - p))
+
+
+def _make_predictor(engine, tmp_cfg=None, detector=None):
+    cfg = tmp_cfg or PredictorConfig(chunk_size=8, chunk_stride=4)
+    return Predictor(
+        config=cfg,
+        model_config=TINY,
+        engine=engine,
+        detector_backend=detector,
+    )
+
+
+@pytest.fixture(scope="module")
+def short_video(tmp_path_factory):
+    pytest.importorskip("cv2")
+    # 8 frames -> metadata nb_frames == chunk_size -> SHORT path.
+    path = tmp_path_factory.mktemp("pred") / "short.mp4"
+    return write_video(path, synthetic_frames(n=8), fps=15.0)
+
+
+@pytest.fixture(scope="module")
+def long_video(tmp_path_factory):
+    pytest.importorskip("cv2")
+    path = tmp_path_factory.mktemp("pred") / "long.mp4"
+    return write_video(path, synthetic_frames(n=60), fps=15.0)
+
+
+def test_short_path_single_track(short_video):
+    engine = StubEngine(script=[0.9])
+    p = _make_predictor(engine, detector=FakeDetector(lambda i: [BOX]))
+    result = p.predict(short_video)
+    assert result["verdict"] == "real"
+    assert result["is_real"] and not result["is_fake"]
+    assert result["selected_track_id"] is not None
+    assert result["tracks"][0]["confidence"] == pytest.approx(0.9, abs=1e-6)
+    assert result["speaker_case"] in (
+        "all_speaking_real", "mixed_real_and_fake", "all_speaking_fake",
+    )
+    assert "mouth_motion_check" in result
+    # One batched call scored the single track.
+    assert engine.calls[0] == 1
+
+
+def test_short_path_two_tracks_batched(short_video):
+    # Two faces -> ONE batched forward with N=2 (not two sequential calls).
+    engine = StubEngine(script=[0.9, 0.2])
+    boxes = [BOX, (10, 10, 50, 40)]
+    p = _make_predictor(engine, detector=FakeDetector(lambda i: list(boxes)))
+    result = p.predict(short_video)
+    assert engine.calls[0] == 2
+    assert len(result["tracks"]) == 2
+    assert result["selected_track_id"] == result["tracks"][0]["track_id"]
+
+
+def test_short_path_refinement_triggers(short_video):
+    """Close scores -> phase-2 refinement re-scores top-k tracks."""
+    engine = StubEngine(script=[0.50, 0.52, 0.6, 0.55])
+    boxes = [BOX, (10, 10, 50, 40)]
+    cfg = PredictorConfig(chunk_size=8, chunk_stride=4, refine_margin=0.5)
+    p = _make_predictor(engine, cfg, FakeDetector(lambda i: list(boxes)))
+    result = p.predict(short_video)
+    # phase1 batch of 2, then refinement full-clip calls for top-2 tracks.
+    assert engine.calls[0] == 2
+    assert len(engine.calls) >= 3
+    assert result["tracks"][0]["selection_score"] == pytest.approx(
+        0.55 * result["tracks"][0]["confidence"]
+        + 0.25 * result["tracks"][0]["stability"]
+        + 0.20 * result["tracks"][0]["speaking_activity"],
+        abs=1e-6,
+    )
+
+
+def test_long_path_batches_all_windows(long_video):
+    engine = StubEngine(script=None)
+    p = _make_predictor(engine, detector=FakeDetector(lambda i: [BOX]))
+    result = p.predict(long_video)
+    # ~60 frames, chunk 8 stride 4 -> ~13 windows, ONE batched call.
+    assert len(engine.calls) == 1
+    assert engine.calls[0] >= 10
+    assert result["total_chunks_analyzed"] == engine.calls[0]
+    assert result["window_results"] is not None
+    # Window starts are absolute and strictly increasing by stride.
+    starts = [w["frame_start"] for w in result["window_results"]]
+    assert starts == sorted(starts)
+    assert starts[1] - starts[0] == 4
+    assert result["speaker_timeline"] is not None
+    assert result["video_duration_sec"] == pytest.approx(4.0, abs=0.5)
+
+
+def test_long_path_minority_fake_gate(long_video):
+    """A contiguous strongly-fake segment in mostly-moderate windows forces
+    verdict FAKE through the temporal-minority gate."""
+    n_windows = 14
+    script = [0.55] * (n_windows - 6) + [0.03] * 6
+    engine = StubEngine(script=script)
+    cfg = PredictorConfig(chunk_size=8, chunk_stride=4, fake_vote_min_windows=3)
+    p = _make_predictor(engine, cfg, FakeDetector(lambda i: [BOX]))
+    result = p.predict(long_video)
+    assert result["window_fake_vote_ratio"] > 0.1
+    assert result["verdict"] in ("fake", "uncertain")
+    if result["verdict"] == "fake":
+        assert result["confidence"] < 0.5
+
+
+def test_long_path_no_tracks(long_video):
+    engine = StubEngine()
+    p = _make_predictor(engine, detector=FakeDetector(lambda i: []))
+    result = p.predict(long_video)
+    # With no detections the tracker returns nothing -> uncertain contract.
+    assert result["verdict"] == "uncertain"
+    assert result["speaker_case"] == "no_face_detected"
+    assert result["total_chunks_analyzed"] == 0
+
+
+def test_predict_from_path_contract(short_video):
+    engine = StubEngine(script=[0.8])
+    p = _make_predictor(engine, detector=FakeDetector(lambda i: [BOX]))
+    result = p.predict_from_path(short_video)
+    assert set(result) == {
+        "verdict", "is_real", "is_fake", "confidence",
+        "manipulation_probability",
+    }
+    assert result["confidence"] == pytest.approx(0.8, abs=1e-6)
+
+
+def test_predict_missing_file():
+    engine = StubEngine()
+    p = _make_predictor(engine)
+    with pytest.raises(FileNotFoundError):
+        p.predict_from_path("/nonexistent/clip.mp4")
