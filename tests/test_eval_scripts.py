@@ -1,0 +1,172 @@
+"""Eval harness tests: validate_pipeline (both modes), grid eval,
+calibrator fitting — driven with stub predictors/engines on tiny data."""
+
+import csv
+import json
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+import fit_calibrator  # noqa: E402
+import run_grid_eval  # noqa: E402
+import validate_pipeline  # noqa: E402
+
+
+class StubPredictor:
+    """Real videos score high, fakes low, one file errors."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def _conf(self, path):
+        name = Path(path).name
+        if "error" in name:
+            raise ValueError("corrupt file")
+        return 0.9 if "real" in str(path) else 0.1
+
+    def predict(self, path):
+        self.calls += 1
+        c = self._conf(path)
+        return {
+            "verdict": "real" if c >= 0.5 else "fake",
+            "is_real": c >= 0.5, "is_fake": c < 0.5,
+            "confidence": c, "manipulation_probability": 1 - c,
+        }
+
+    predict_from_path = predict
+
+
+@pytest.fixture()
+def video_tree(tmp_path):
+    real = tmp_path / "real"
+    fake = tmp_path / "fake"
+    real.mkdir()
+    fake.mkdir()
+    for i in range(4):
+        (real / f"r{i}.mp4").write_bytes(b"x")
+        (fake / f"f{i}.mp4").write_bytes(b"x")
+    (real / "error_clip.mp4").write_bytes(b"x")
+    return tmp_path
+
+
+def test_validate_pipeline_video_mode(video_tree, tmp_path):
+    args = validate_pipeline.build_argparser().parse_args([
+        "--data-dir", str(video_tree),
+        "--output-dir", str(tmp_path / "out"),
+    ])
+    m = validate_pipeline.run_video_mode(args, predictor=StubPredictor())
+    assert m["accuracy"] == 1.0 and m["f1"] == 1.0
+    assert m["errors"] == 1
+    out = tmp_path / "out"
+    assert (out / "predictions.csv").exists()
+    assert (out / "metrics.json").exists()
+    assert (out / "confusion_matrix.png").exists()
+    assert (out / "roc_curve.png").exists()
+    saved = json.loads((out / "metrics.json").read_text())
+    assert saved["roc_auc"] == 1.0
+
+
+def test_validate_pipeline_resume(video_tree, tmp_path):
+    out = tmp_path / "out"
+    args = validate_pipeline.build_argparser().parse_args([
+        "--data-dir", str(video_tree), "--output-dir", str(out),
+        "--resume", "--save-every", "2",
+    ])
+    p1 = StubPredictor()
+    validate_pipeline.run_video_mode(args, predictor=p1)
+    first_calls = p1.calls
+    # Second run resumes: no new predictions.
+    p2 = StubPredictor()
+    validate_pipeline.run_video_mode(args, predictor=p2)
+    assert first_calls == 9 and p2.calls == 0
+
+
+class StubEngine:
+    """prob(real) = mean of the visual tensor (labels encode brightness)."""
+
+    config = SimpleNamespace(video_frames=4, audio_frames=16)
+
+    def score_probs(self, v, a):
+        return np.clip(v.reshape(v.shape[0], -1).mean(axis=1), 0, 1)
+
+    def score_logits(self, v, a):
+        p = np.clip(self.score_probs(v, a), 1e-4, 1 - 1e-4)
+        return np.log(p / (1 - p))
+
+
+@pytest.fixture()
+def preprocessed_dir(tmp_path, rng):
+    out = tmp_path / "pre"
+    out.mkdir()
+    recs = []
+    for i in range(10):
+        label = i % 2  # 1 = REAL
+        key = f"s{i:04d}"
+        # Real samples bright (mean ~0.9), fakes dark (~0.1).
+        visual = np.full((4, 8, 8, 3), 0.9 if label else 0.1, np.float32)
+        audio = np.zeros((80, 16), np.float32)
+        np.save(out / f"{key}_v.npy", visual)
+        np.save(out / f"{key}_a.npy", audio)
+        recs.append({
+            "key": key, "source_path": f"/x/{key}.mp4", "label": label,
+            "visual_relpath": f"{key}_v.npy", "audio_relpath": f"{key}_a.npy",
+            "precompute_mode": "fixed_clip",
+        })
+    (out / "manifest.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs)
+    )
+    return out
+
+
+def test_validate_pipeline_preprocessed_mode(preprocessed_dir, tmp_path):
+    args = validate_pipeline.build_argparser().parse_args([
+        "--preprocessed-dir", str(preprocessed_dir),
+        "--output-dir", str(tmp_path / "out2"),
+        "--batch-size", "4",
+    ])
+    m = validate_pipeline.run_preprocessed_mode(args, engine=StubEngine())
+    assert m["accuracy"] == 1.0
+    rows = list(csv.DictReader(
+        (tmp_path / "out2" / "predictions.csv").open()
+    ))
+    assert len(rows) == 10
+
+
+def test_run_grid_eval_labels_csv(tmp_path):
+    csv_path = tmp_path / "labels.csv"
+    with csv_path.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["path", "label"])
+        w.writeheader()
+        for i in range(3):
+            w.writerow({"path": f"/x/real_{i}.mp4", "label": 1})
+            w.writerow({"path": f"/x/fake_{i}.mp4", "label": 0})
+    m = run_grid_eval.main(
+        ["--labels-csv", str(csv_path)], predictor=StubPredictor()
+    )
+    assert m["accuracy"] == 1.0 and m["f1"] == 1.0
+
+
+def test_fit_calibrator_all_methods(preprocessed_dir, tmp_path):
+    out = fit_calibrator.main(
+        [
+            "--preprocessed-dir", str(preprocessed_dir),
+            "--isotonic-out", str(tmp_path / "iso.pkl"),
+        ],
+        engine=StubEngine(),
+    )
+    assert 0.05 <= out["calibration_temperature"] <= 20.0
+    assert (tmp_path / "iso.pkl").exists()
+    # Isotonic calibrator round-trips through the Calibrator loader.
+    from lipsync_tpu.inference.calibration import Calibrator
+
+    cal = Calibrator.from_config(
+        method="isotonic", isotonic_path=str(tmp_path / "iso.pkl")
+    )
+    probs = cal(np.array([-2.0, 0.0, 2.0]))
+    assert probs.shape == (3,)
+    assert np.all((probs >= 0) & (probs <= 1))
