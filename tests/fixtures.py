@@ -55,6 +55,34 @@ def write_video(path: Path, frames: np.ndarray, fps: float = 15.0) -> Path:
     return path
 
 
+def speechish_pcm(seconds: float = 3.0, sr: int = 16000, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    f0 = 140 + 30 * np.sin(2 * np.pi * 0.7 * t)
+    y = sum(
+        (0.5 / k) * np.sin(2 * np.pi * k * np.cumsum(f0) / sr)
+        for k in range(1, 6)
+    )
+    envelope = np.clip(np.sin(2 * np.pi * 2.5 * t), 0, 1) ** 0.5
+    return (y * envelope * 0.3 + rng.randn(n) * 1e-3).astype(np.float32)
+
+
+def write_av_video(
+    path: Path,
+    frames: np.ndarray,
+    fps: float = 15.0,
+    pcm: np.ndarray | None = None,
+    sr: int = 16000,
+) -> Path:
+    """Video WITH audio via the native muxer (.avi: mpeg4 + pcm_s16le)."""
+    from lipsync_tpu.preprocessing.mux import write_video as mux_write
+
+    if pcm is None:
+        pcm = speechish_pcm(seconds=len(frames) / fps, sr=sr)
+    return mux_write(path, frames, fps=fps, pcm=pcm, sample_rate=sr)
+
+
 def write_wav(
     path: Path, seconds: float = 3.0, sr: int = 16000, kind: str = "speechish",
     seed: int = 0,

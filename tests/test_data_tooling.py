@@ -1,0 +1,106 @@
+"""Native muxer + dataset tooling scripts tests (real A/V round trips)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from lipsync_tpu.preprocessing import ingest
+from lipsync_tpu.preprocessing.mux import write_video as mux_write
+from tests.fixtures import speechish_pcm, synthetic_frames, write_av_video
+
+import diagnose_videos  # noqa: E402
+import filter_corrupt_videos  # noqa: E402
+import generate_audio_swap_fakes  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def av_clip(tmp_path_factory):
+    d = tmp_path_factory.mktemp("av")
+    return write_av_video(d / "clip.avi", synthetic_frames(45), fps=15.0)
+
+
+def test_mux_roundtrip(av_clip):
+    info = ingest.probe(av_clip)
+    assert info.has_audio and info.sample_rate == 16000
+    assert info.nb_frames == 45
+    frames = ingest.read_video(av_clip, 15.0)
+    pcm = ingest.read_audio(av_clip, 16000)
+    assert 43 <= len(frames) <= 46
+    assert abs(len(pcm) - 48000) < 1000
+    # Audio content survives the pcm_s16le round trip.
+    ref = speechish_pcm(3.0)
+    n = min(len(pcm), len(ref))
+    assert np.abs(pcm[:n] - ref[:n]).max() < 2e-3
+
+
+def test_mux_video_only(tmp_path):
+    p = mux_write(tmp_path / "v.avi", synthetic_frames(10), fps=15.0)
+    info = ingest.probe(p)
+    assert not info.has_audio
+    assert len(ingest.read_video(p, 15.0)) >= 9
+
+
+def test_full_predictor_on_av_clip(av_clip):
+    """End-to-end: real container with BOTH streams through the production
+    pipeline (VAD, audio alignment, guards) with a stub scorer."""
+    from tests.test_predictor import StubEngine, _make_predictor
+    from lipsync_tpu.preprocessing.face_detection import FakeDetector
+
+    engine = StubEngine()
+    p = _make_predictor(engine, detector=FakeDetector(lambda i: [(60, 70, 110, 105)]))
+    result = p.predict(av_clip)
+    assert result["verdict"] in ("real", "fake", "uncertain")
+    assert result["total_chunks_analyzed"] >= 5
+    assert result["window_results"] is not None
+    # VAD coverage came from the real audio stream.
+    assert any(w["vad_coverage"] > 0 for w in result["window_results"])
+
+
+def test_generate_audio_swap_fakes(tmp_path):
+    real_dir = tmp_path / "real"
+    real_dir.mkdir()
+    write_av_video(real_dir / "a.avi", synthetic_frames(30, seed=1), fps=15.0,
+                   pcm=speechish_pcm(2.0, seed=1))
+    write_av_video(real_dir / "b.avi", synthetic_frames(30, seed=2), fps=15.0,
+                   pcm=speechish_pcm(2.0, seed=2))
+    out_dir = tmp_path / "fakes"
+    made = generate_audio_swap_fakes.main([
+        "--real-dir", str(real_dir), "--output-dir", str(out_dir),
+        "--limit", "2",
+    ])
+    assert made == 2
+    fakes = list(out_dir.glob("*.avi"))
+    assert len(fakes) == 2
+    for f in fakes:
+        info = ingest.probe(f)
+        assert info.has_audio and info.nb_frames >= 28
+
+
+def test_filter_corrupt_videos(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    write_av_video(data / "good.avi", synthetic_frames(30), fps=15.0)
+    (data / "bad.mp4").write_bytes(b"not a video at all")
+    moved = filter_corrupt_videos.main([
+        "--data-dir", str(data), "--no-face-check",
+    ])
+    assert moved == 1
+    assert (data / "good.avi").exists()
+    assert not (data / "bad.mp4").exists()
+    assert (tmp_path / "corruptedclips" / "bad.mp4").exists()
+
+
+def test_diagnose_videos(tmp_path, capsys):
+    data = tmp_path / "d"
+    data.mkdir()
+    write_av_video(data / "ok.avi", synthetic_frames(15), fps=15.0)
+    (data / "broken.mp4").write_bytes(b"xx")
+    reports = diagnose_videos.main(["--data-dir", str(data)])
+    by_name = {Path(r["path"]).name: r for r in reports}
+    assert by_name["ok.avi"]["decode"].startswith("ok")
+    assert "FAILED" in by_name["broken.mp4"]["decode"] or \
+        by_name["broken.mp4"]["probe"]["nb_frames"] == 0
