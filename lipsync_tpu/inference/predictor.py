@@ -220,6 +220,7 @@ class Predictor:
         visual = preprocess_video(
             video_path, backend=self.backend,
             max_frames=self.model_config.video_frames,
+            crop_size=self.model_config.crop_size,
         )
         audio = self._audio_or_silence(
             video_path, self.model_config.audio_frames
@@ -263,6 +264,7 @@ class Predictor:
             video_path,
             max_tracks=cfg.max_tracks,
             max_frames=self.model_config.video_frames,
+            crop_size=self.model_config.crop_size,
             backend=self.backend,
             max_total_frames=cfg.max_total_frames,
         )
@@ -510,6 +512,7 @@ class Predictor:
         visual_np = preprocess_video(
             video_path, backend=self.backend,
             max_frames=self.model_config.video_frames,
+            crop_size=self.model_config.crop_size,
             max_total_frames=self.cfg.max_total_frames,
         )
         confidence = self._score_windows([visual_np], [audio_np])[0]
@@ -548,6 +551,7 @@ class Predictor:
             chunk_size=cfg.chunk_size,
             stride=cfg.chunk_stride,
             max_tracks=cfg.max_tracks,
+            crop_size=self.model_config.crop_size,
             max_total_frames=cfg.max_total_frames,
             backend=self.backend,
         )

@@ -21,6 +21,13 @@ import jax  # noqa: E402  (imported here so env vars above take effect)
 # (e.g. a TPU tunnel plugin); the config update below wins regardless.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the heavy conv graphs (train steps, tiny
+# engines) compile once per machine instead of once per pytest run.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

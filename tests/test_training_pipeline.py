@@ -211,10 +211,18 @@ def test_plateau_scheduler_halves_lr():
 # ── end-to-end tiny training run via the CLI entry function ──────────────
 
 
-def test_run_training_end_to_end(preprocessed_dir, tmp_path):
-    from lipsync_tpu.training.train import build_argparser, run_training
+def test_train_then_finetune_end_to_end(preprocessed_dir, tmp_path):
+    """One combined CLI run: 2-epoch training with a phase transition, then
+    2-epoch finetune from that checkpoint with an unfreeze transition.
+    (Combined to amortize the expensive per-optimizer-build compiles on
+    this 1-core box.)"""
+    from lipsync_tpu.training.finetune import build_argparser, run_finetune
+    from lipsync_tpu.training.train import (
+        build_argparser as train_parser,
+        run_training,
+    )
 
-    args = build_argparser().parse_args([
+    args = train_parser().parse_args([
         "--preprocessed-dir", str(preprocessed_dir),
         "--output-dir", str(tmp_path / "w"),
         "--epochs", "2", "--batch-size", "2",
@@ -231,36 +239,18 @@ def test_run_training_end_to_end(preprocessed_dir, tmp_path):
     meta = json.loads((out / "latest" / "metadata.json").read_text())
     assert meta["video_frames"] == 4 and meta["phase"] == 2
 
-
-def test_finetune_end_to_end(preprocessed_dir, tmp_path):
-    from lipsync_tpu.training.finetune import build_argparser, run_finetune
-    from lipsync_tpu.training.train import (
-        build_argparser as train_parser,
-        run_training,
-    )
-
-    # Base checkpoint from a 1-epoch training run.
-    base_args = train_parser().parse_args([
+    ft_args = build_argparser().parse_args([
         "--preprocessed-dir", str(preprocessed_dir),
-        "--output-dir", str(tmp_path / "base"),
-        "--epochs", "1", "--batch-size", "2",
-        "--video-frames", "4", "--audio-frames", "16", "--crop-size", "8",
-        "--no-augment",
-    ])
-    run_training(base_args)
-
-    args = build_argparser().parse_args([
-        "--preprocessed-dir", str(preprocessed_dir),
-        "--checkpoint", str(tmp_path / "base" / "latest"),
+        "--checkpoint", str(out / "latest"),
         "--output-dir", str(tmp_path / "ft"),
         "--epochs", "2", "--frozen-epochs", "1", "--batch-size", "2",
         "--video-frames", "4", "--audio-frames", "16", "--crop-size", "8",
         "--no-augment",
     ])
-    history = run_finetune(args)
-    assert history["epoch"] == 1
-    out = tmp_path / "ft"
-    assert (out / "best_model_f1").exists()
-    assert (out / "confusion_epoch_000.txt").exists()
-    meta = json.loads((out / "latest" / "metadata.json").read_text())
-    assert 0.05 <= meta["f1_threshold"] <= 0.95
+    ft_history = run_finetune(ft_args)
+    assert ft_history["epoch"] == 1
+    ft_out = tmp_path / "ft"
+    assert (ft_out / "best_model_f1").exists()
+    assert (ft_out / "confusion_epoch_000.txt").exists()
+    ft_meta = json.loads((ft_out / "latest" / "metadata.json").read_text())
+    assert 0.05 <= ft_meta["f1_threshold"] <= 0.95
