@@ -49,6 +49,7 @@ class ScoringEngine:
         calibrator: Optional[Calibrator] = None,
         use_bfloat16: Optional[bool] = None,
         mesh: Optional[object] = None,
+        max_batch: int = 128,
     ):
         if use_bfloat16 is None:
             use_bfloat16 = jax.devices()[0].platform == "tpu"
@@ -57,6 +58,7 @@ class ScoringEngine:
         self.model = LipSyncModel(config, dtype=dtype)
         self.calibrator = calibrator or Calibrator()
         self.mesh = mesh
+        self.max_batch = int(max_batch)
         self._variables = jax.device_put(variables)
         model = self.model
         variables_ref = self._variables
@@ -90,6 +92,16 @@ class ScoringEngine:
             return np.zeros((0,), np.float32)
         if audio.ndim == 3:
             audio = audio[..., None]  # (N, F, T_a, 1)
+        # Stream oversized batches (minutes-long videos produce hundreds of
+        # windows): bounded HBM, fixed compiled shapes.
+        if n > self.max_batch:
+            return np.concatenate([
+                self.score_logits(
+                    visual[i : i + self.max_batch],
+                    audio[i : i + self.max_batch],
+                )
+                for i in range(0, n, self.max_batch)
+            ])
         bucket = _bucket_batch(n)
         if self.mesh is not None:
             n_dev = int(np.prod([d for d in self.mesh.devices.shape]))

@@ -134,6 +134,24 @@ class Predictor:
         a = np.stack(audios, axis=0)
         return [float(p) for p in self.engine.score_probs(v, a)]
 
+    def _score_window_iter(self, pairs) -> List[float]:
+        """Score an iterable of (visual, audio) windows in streamed groups
+        of ``engine.max_batch`` so minutes-long videos never materialize
+        every 75%-overlapping window at once."""
+        group_size = getattr(self.engine, "max_batch", 128)
+        probs: List[float] = []
+        group_v: List[np.ndarray] = []
+        group_a: List[np.ndarray] = []
+        for visual, audio in pairs:
+            group_v.append(visual)
+            group_a.append(audio)
+            if len(group_v) >= group_size:
+                probs.extend(self._score_windows(group_v, group_a))
+                group_v, group_a = [], []
+        if group_v:
+            probs.extend(self._score_windows(group_v, group_a))
+        return probs
+
     def _temporal_smoothed_confidence(
         self, visual: np.ndarray, audio: np.ndarray
     ) -> Tuple[float, List[float], List[Tuple[int, int]]]:
@@ -567,20 +585,24 @@ class Predictor:
 
         # ── Score EVERY (track, chunk) window in one batched pass ─────────
         t_inf_start = perf_counter()
-        all_visuals: List[np.ndarray] = []
-        all_audios: List[np.ndarray] = []
         index: List[Tuple[int, int]] = []  # (track_idx, chunk_idx)
         for ti, tr in enumerate(chunked_tracks):
             for ci in range(tr.num_chunks):
-                all_visuals.append(tr.chunk(ci))
-                all_audios.append(
+                index.append((ti, ci))
+
+        def window_pairs():
+            for ti, ci in index:
+                tr = chunked_tracks[ti]
+                yield (
+                    tr.chunk(ci),
                     policy.align_audio_chunk(
                         audio_np_full, tr.abs_chunk_starts[ci], total_v_frames,
                         chunk_a_size=self.model_config.audio_frames,
-                    )
+                    ),
                 )
-                index.append((ti, ci))
-        all_probs = self._score_windows(all_visuals, all_audios)
+
+        # Streamed scoring: windows materialize per engine.max_batch group.
+        all_probs = self._score_window_iter(window_pairs())
         probs_by_track: Dict[int, List[float]] = {}
         for (ti, ci), p in zip(index, all_probs):
             probs_by_track.setdefault(ti, []).append(p)

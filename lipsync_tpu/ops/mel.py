@@ -128,7 +128,8 @@ def log_mel_spectrogram(
     power = jnp.abs(spec) ** 2
 
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))  # (n_mels, n_bins)
-    mel = power @ fb.T  # (n_frames, n_mels) — MXU matmul
+    # fp32 matmul: the MXU's bf16 operand rounding is audible in dB space.
+    mel = jnp.dot(power, fb.T, precision=jax.lax.Precision.HIGHEST)
     mel = mel.T  # (n_mels, n_frames)
 
     return power_to_db(mel, top_db=top_db)

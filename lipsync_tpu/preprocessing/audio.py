@@ -24,6 +24,12 @@ from lipsync_tpu.utils.logger import get_logger
 logger = get_logger(__name__)
 
 
+def _use_pallas_mel() -> bool:
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
+
+
 def preprocess_audio_pcm(
     y: np.ndarray,
     sr: int = 16000,
@@ -32,11 +38,23 @@ def preprocess_audio_pcm(
     win_length: int = 400,
     target_frames: Optional[int] = None,
 ) -> np.ndarray:
-    """Mono PCM -> (n_mels, T) log-mel dB (audio.py:80-99 semantics)."""
+    """Mono PCM -> (n_mels, T) log-mel dB (audio.py:80-99 semantics).
+
+    On TPU the fused Pallas kernel computes the whole chain in one pass;
+    elsewhere the XLA rFFT path is used (identical outputs within 1e-4 dB).
+    """
     if y.size == 0:
         raise ValueError("Empty audio signal")
+    if _use_pallas_mel():
+        from lipsync_tpu.ops.pallas.mel_kernel import (
+            log_mel_spectrogram_pallas,
+        )
+
+        mel_fn = log_mel_spectrogram_pallas
+    else:
+        mel_fn = log_mel_spectrogram
     mel = np.asarray(
-        log_mel_spectrogram(
+        mel_fn(
             jnp.asarray(y),
             sr=sr,
             n_fft=win_length,

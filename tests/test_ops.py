@@ -153,3 +153,18 @@ def test_crop_resize_normalize_matches_cv2(rng):
         ).astype(np.float32) / 255.0
         # cv2 uses fixed-point bilinear internally (~1/256 quantization).
         assert np.abs(out[i] - ref).max() < 0.005
+
+
+# --- Pallas fused mel kernel (interpret mode on CPU) -----------------------
+
+
+def test_pallas_mel_matches_xla(rng):
+    from lipsync_tpu.ops.pallas.mel_kernel import log_mel_spectrogram_pallas
+
+    y = rng.randn(16000).astype(np.float32) * 0.2
+    ref = np.asarray(log_mel_spectrogram(jnp.asarray(y)))
+    ours = np.asarray(
+        log_mel_spectrogram_pallas(jnp.asarray(y), interpret=True)
+    )
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() < 1e-3  # dB
