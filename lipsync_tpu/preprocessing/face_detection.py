@@ -89,7 +89,13 @@ class CascadeDetector:
 
     name = "cascade"
 
-    def __init__(self, max_num_faces: int = 5, min_neighbors: int = 3):
+    def __init__(
+        self,
+        max_num_faces: int = 5,
+        min_neighbors: int = 3,
+        track_rois: bool = True,
+        refresh_every: int = 10,
+    ):
         from lipsync_tpu.preprocessing.haar import (
             HaarCascade,
             find_cascade_file,
@@ -97,12 +103,41 @@ class CascadeDetector:
 
         self.max_num_faces = max_num_faces
         self.min_neighbors = min_neighbors
+        # ROI-guided video mode: after the first hit, scan only expanded
+        # regions around the previous frame's faces; do a full-frame sweep
+        # every ``refresh_every`` frames to catch entering faces. The host
+        # detector is the serial bottleneck of the pipeline (SURVEY.md §7
+        # host/device split), and faces move little at 15 fps.
+        self.track_rois = track_rois
+        self.refresh_every = max(1, refresh_every)
+        self._last_faces: List[Tuple[int, int, int, int]] = []
+        self._since_full = 0
         frontal = find_cascade_file("haarcascade_frontalface_default.xml")
         if frontal is None:
             raise RuntimeError("No frontal face cascade file found")
         self._frontal = HaarCascade(frontal)
         profile = find_cascade_file("haarcascade_profileface.xml")
         self._profile = HaarCascade(profile) if profile else None
+
+    def reset(self) -> None:
+        """Clear per-video ROI state (called at the start of each clip)."""
+        self._last_faces = []
+        self._since_full = 0
+
+    def _scan(self, gray: np.ndarray, min_side: int,
+              offset=(0, 0)) -> List[Tuple[int, int, int, int]]:
+        rects: List[Tuple[int, int, int, int]] = []
+        for cascade in (self._frontal, self._profile):
+            if cascade is None:
+                continue
+            found = cascade.detect(
+                gray, scale_factor=1.08, min_neighbors=self.min_neighbors,
+                min_size=min_side,
+            )
+            if len(found) > 0:
+                ox, oy = offset
+                rects.extend((r[0] + ox, r[1] + oy, r[2], r[3]) for r in found)
+        return rects
 
     def detect(self, frame: np.ndarray) -> List[Detection]:
         h, w = frame.shape[:2]
@@ -114,15 +149,29 @@ class CascadeDetector:
         min_side = max(20, int(min(h, w) * 0.04))
 
         rects: List[Tuple[int, int, int, int]] = []
-        for cascade in (self._frontal, self._profile):
-            if cascade is None:
-                continue
-            found = cascade.detect(
-                gray, scale_factor=1.08, min_neighbors=self.min_neighbors,
-                min_size=min_side,
-            )
-            if len(found) > 0:
-                rects.extend(tuple(r) for r in found)
+        use_roi = (
+            self.track_rois
+            and self._last_faces
+            and self._since_full < self.refresh_every
+        )
+        if use_roi:
+            for fx, fy, fw, fh in self._last_faces:
+                # Expand the previous face box by 50% each side.
+                ex = max(0, fx - fw // 2)
+                ey = max(0, fy - fh // 2)
+                ex2 = min(w, fx + fw + fw // 2)
+                ey2 = min(h, fy + fh + fh // 2)
+                if ex2 - ex < min_side or ey2 - ey < min_side:
+                    continue
+                # The face size is known from last frame: skip the small-
+                # scale pyramid levels (they dominate the scan cost).
+                roi_min = max(min_side, min(fw, fh) // 2)
+                roi = np.ascontiguousarray(gray[ey:ey2, ex:ex2])
+                rects.extend(self._scan(roi, roi_min, offset=(ex, ey)))
+            self._since_full += 1
+        if not rects:
+            rects = self._scan(gray, min_side)
+            self._since_full = 0
 
         # NMS: IoU > 0.5 keeps the larger box (face_detection.py:284-310).
         filtered: List[Tuple[int, int, int, int]] = []
@@ -143,8 +192,10 @@ class CascadeDetector:
             if not dup:
                 filtered.append(rect)
 
+        kept = filtered[: self.max_num_faces]
+        self._last_faces = kept
         out: List[Detection] = []
-        for x, y, fw, fh in filtered[: self.max_num_faces]:
+        for x, y, fw, fh in kept:
             mouth = face_bbox_to_mouth_bbox(x, y, fw, fh, w, h)
             if mouth[2] - mouth[0] < 4 or mouth[3] - mouth[1] < 4:
                 continue

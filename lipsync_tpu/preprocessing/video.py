@@ -99,6 +99,8 @@ def detect_and_crop_tracks(
     the boxes-based tracker), crops computed on device."""
     if backend is None:
         backend = get_default_backend()
+    if hasattr(backend, "reset"):
+        backend.reset()  # clear per-video ROI state
     h, w = frames.shape[1:3]
     detections = [backend.detect(f) for f in frames]
     results = track_faces(
