@@ -103,6 +103,26 @@ def detect_and_crop_tracks(
         backend.reset()  # clear per-video ROI state
     h, w = frames.shape[1:3]
     detections = [backend.detect(f) for f in frames]
+
+    # Zero-detection retry at relaxed sensitivity (the reference retries
+    # MediaPipe at confidence 0.15, face_detection.py:1057-1082; the
+    # cascade analog is min_neighbors=1).
+    if not any(detections) and hasattr(backend, "min_neighbors") and (
+        backend.min_neighbors > 1
+    ):
+        logger.warning(
+            "Zero detections at min_neighbors=%d; retrying relaxed",
+            backend.min_neighbors,
+        )
+        original = backend.min_neighbors
+        try:
+            backend.min_neighbors = 1
+            if hasattr(backend, "reset"):
+                backend.reset()
+            detections = [backend.detect(f) for f in frames]
+        finally:
+            backend.min_neighbors = original
+
     results = track_faces(
         detections, h, w,
         max_tracks=max_tracks,

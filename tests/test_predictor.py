@@ -7,6 +7,8 @@ with a deterministic stubbed scorer, which makes the decision paths
 without compiling the full-size model on one CPU core.
 """
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -213,3 +215,50 @@ def test_predict_missing_file():
     p = _make_predictor(engine)
     with pytest.raises(FileNotFoundError):
         p.predict_from_path("/nonexistent/clip.mp4")
+
+
+def test_engine_sharded_over_mesh(tiny_engine, rng):
+    """Engine with a data mesh: same probs as single-device, batch padded
+    to the device count."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lipsync_tpu.parallel import mesh as mesh_lib
+
+    model = LipSyncModel(TINY)
+    visual = np.zeros((1, 8, 32, 32, 3), np.float32)
+    audio = np.zeros((1, 80, 32, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), visual, audio)
+    mesh = mesh_lib.make_mesh(8)
+    sharded = ScoringEngine(variables, TINY, use_bfloat16=False, mesh=mesh)
+
+    v = rng.rand(5, 8, 32, 32, 3).astype(np.float32)
+    a = (rng.rand(5, 80, 32).astype(np.float32) * 60) - 60
+    p_mesh = sharded.score_probs(v, a)
+    p_single = tiny_engine.score_probs(v, a)
+    np.testing.assert_allclose(p_mesh, p_single, atol=2e-5)
+
+
+def test_load_engine_orbax_roundtrip(tmp_path, rng):
+    from lipsync_tpu.inference.engine import load_engine
+    from lipsync_tpu.training.checkpoints import save_checkpoint
+
+    model = LipSyncModel(TINY)
+    visual = np.zeros((1, 8, 32, 32, 3), np.float32)
+    audio = np.zeros((1, 80, 32, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), visual, audio)
+    save_checkpoint(tmp_path / "ckpt", variables, {"note": "test"})
+
+    engine = load_engine(tmp_path / "ckpt", TINY, use_bfloat16=False)
+    v = rng.rand(2, 8, 32, 32, 3).astype(np.float32)
+    a = (rng.rand(2, 80, 32).astype(np.float32) * 60) - 60
+    ref = ScoringEngine(variables, TINY, use_bfloat16=False)
+    np.testing.assert_allclose(
+        engine.score_probs(v, a), ref.score_probs(v, a), atol=1e-6
+    )
+
+
+def test_load_engine_missing_path():
+    from lipsync_tpu.inference.engine import load_engine
+
+    with pytest.raises(FileNotFoundError):
+        load_engine(Path("/nonexistent/weights.pth"), TINY)
