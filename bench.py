@@ -37,7 +37,7 @@ def main() -> None:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = LipSyncModel(cfg, dtype=dtype)
 
-    throughput_batch = 128 if on_tpu else 2
+    throughput_batch = 512 if on_tpu else 2
     rng = np.random.RandomState(0)
 
     def inputs(batch):

@@ -29,7 +29,7 @@ from lipsync_tpu.utils.logger import get_logger
 
 logger = get_logger(__name__)
 
-_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 
 
 def _bucket_batch(n: int) -> int:
@@ -49,7 +49,7 @@ class ScoringEngine:
         calibrator: Optional[Calibrator] = None,
         use_bfloat16: Optional[bool] = None,
         mesh: Optional[object] = None,
-        max_batch: int = 128,
+        max_batch: int = 256,
     ):
         if use_bfloat16 is None:
             use_bfloat16 = jax.devices()[0].platform == "tpu"
