@@ -45,19 +45,34 @@ def precompute_one(
     audio_frames: int,
     target_fps: float,
     backend=None,
+    use_face_detection: bool = True,
 ) -> dict:
     key = f"sample_{index:06d}"
     if mode == "fixed_clip":
         visual = preprocess_video(
-            path, max_frames=video_frames, backend=backend
+            path, max_frames=video_frames, backend=backend,
+            use_face_detection=use_face_detection,
         )  # (T, 96, 96, 3) float32
         audio = preprocess_audio(path, target_frames=audio_frames)  # (80, T)
     else:  # full_sequence
         frames = ingest.read_video(path, target_fps=target_fps)
-        tracks = detect_and_crop_tracks(frames, backend=backend, max_tracks=1)
-        if not tracks:
-            raise ValueError("no face track")
-        visual = (tracks[0].crops * 255.0).astype(np.uint8)  # (N, 96, 96, 3)
+        if use_face_detection:
+            tracks = detect_and_crop_tracks(
+                frames, backend=backend, max_tracks=1
+            )
+            if not tracks:
+                raise ValueError("no face track")
+            visual = (tracks[0].crops * 255.0).astype(np.uint8)
+        else:
+            from lipsync_tpu.preprocessing.face_detection import (
+                center_crop_box,
+            )
+            from lipsync_tpu.preprocessing.video import crop_track_on_device
+
+            h, w = frames.shape[1:3]
+            box = center_crop_box(h, w, 96)
+            crops = crop_track_on_device(frames, [box] * len(frames), 0, 96)
+            visual = (crops * 255.0).astype(np.uint8)
         audio = preprocess_audio(path)  # full (80, T)
 
     visual_rel = f"{key}_visual.npy"
@@ -88,6 +103,7 @@ def main() -> None:
     p.add_argument("--audio-frames", type=int, default=128)
     p.add_argument("--target-fps", type=float, default=15.0)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--no-face-detection", action="store_true")
     args = p.parse_args()
 
     out = args.output_dir
@@ -118,6 +134,7 @@ def main() -> None:
                 rec = precompute_one(
                     path, label, out, len(records), args.mode,
                     args.video_frames, args.audio_frames, args.target_fps,
+                    use_face_detection=not args.no_face_detection,
                 )
             except Exception as e:
                 logger.warning("Failed %s: %s", path, e)
