@@ -106,6 +106,12 @@ class AppState:
                     "Model weights not found at %s — service starts without "
                     "a model (503 on predict)", self.settings.model_path,
                 )
+        if self.predictor is not None and hasattr(self.predictor, "engine"):
+            # Compile the canonical window shape before traffic arrives
+            # (first XLA compile can take minutes on a cold service).
+            threading.Thread(
+                target=self.predictor.engine.warmup, daemon=True
+            ).start()
         if self.settings.run_embedded_worker and self.predictor is not None:
             self.worker = JobWorker(
                 self.predictor, self.store,

@@ -47,9 +47,7 @@ def load_checkpoint(
     path = Path(path).resolve()
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
-        restored = ckptr.restore(
-            path, ocp.args.StandardRestore(_to_numpy_tree(template))
-        )
+        restored = ckptr.restore(path, _to_numpy_tree(template))
     else:
         restored = ckptr.restore(path)
     return restored

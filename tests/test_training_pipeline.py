@@ -254,3 +254,32 @@ def test_train_then_finetune_end_to_end(preprocessed_dir, tmp_path):
     assert (ft_out / "confusion_epoch_000.txt").exists()
     ft_meta = json.loads((ft_out / "latest" / "metadata.json").read_text())
     assert 0.05 <= ft_meta["f1_threshold"] <= 0.95
+
+
+def test_training_resume(preprocessed_dir, tmp_path):
+    """Resume restores epoch counter, best metrics, and weights
+    (train.py:550-601 phase-aware rebuild semantics)."""
+    from lipsync_tpu.training.train import build_argparser, run_training
+
+    base = [
+        "--preprocessed-dir", str(preprocessed_dir),
+        "--output-dir", str(tmp_path / "w"),
+        "--batch-size", "2",
+        "--video-frames", "4", "--audio-frames", "16", "--crop-size", "8",
+        "--no-augment", "--val-split", "0.34",
+    ]
+    run_training(build_argparser().parse_args(base + ["--epochs", "1"]))
+    meta1 = json.loads(
+        (tmp_path / "w" / "latest" / "metadata.json").read_text()
+    )
+    assert meta1["epoch"] == 0
+
+    history = run_training(build_argparser().parse_args(
+        base + ["--epochs", "2", "--resume", str(tmp_path / "w" / "latest")]
+    ))
+    assert history["epoch"] == 1  # continued, not restarted
+    meta2 = json.loads(
+        (tmp_path / "w" / "latest" / "metadata.json").read_text()
+    )
+    assert meta2["epoch"] == 1
+    assert meta2["best_val_accuracy"] >= meta1["best_val_accuracy"]
