@@ -78,6 +78,19 @@ class ScoringEngine:
         else:
             self._fwd = jax.jit(forward)
 
+        chunk_size = config.video_frames
+
+        def track_forward(crops, starts, audio):
+            # Zero-copy window extraction on device: the track's crop
+            # sequence uploads ONCE and the 75%-overlapping windows are
+            # gathered inside the program (the host/transfer cost of
+            # materializing every window is 4x the track itself).
+            idx = starts[:, None] + jnp.arange(chunk_size)[None, :]
+            windows = crops[idx]  # (W, T, crop, crop, 3)
+            return model.apply(variables_ref, windows, audio)
+
+        self._track_fwd = jax.jit(track_forward)
+
     # ------------------------------------------------------------------
     def score_logits(
         self, visual: np.ndarray, audio: np.ndarray
@@ -126,6 +139,68 @@ class ScoringEngine:
     def score_probs(self, visual: np.ndarray, audio: np.ndarray) -> np.ndarray:
         """Calibrated P(REAL) per window."""
         return self.calibrator(self.score_logits(visual, audio))
+
+    # ------------------------------------------------------------------
+    def score_track_logits(
+        self,
+        crops: np.ndarray,
+        starts: Sequence[int],
+        audio_windows: np.ndarray,
+    ) -> np.ndarray:
+        """Score a track's sliding windows with on-device gathering.
+
+        crops: (N, crop, crop, 3) float32 — the WHOLE track, uploaded once.
+        starts: local window start indices (start + chunk_size <= N_padded;
+            short tracks are tail-padded by repeating the last frame).
+        audio_windows: (W, F, T_a[, 1]) aligned mel windows.
+        """
+        w = len(starts)
+        if w == 0:
+            return np.zeros((0,), np.float32)
+        if audio_windows.ndim == 3:
+            audio_windows = audio_windows[..., None]
+        if w > self.max_batch:
+            return np.concatenate([
+                self.score_track_logits(
+                    crops, starts[i : i + self.max_batch],
+                    audio_windows[i : i + self.max_batch],
+                )
+                for i in range(0, w, self.max_batch)
+            ])
+        chunk = self.config.video_frames
+        n = crops.shape[0]
+        # Pad the crop sequence (x2 buckets) so every start+chunk fits and
+        # long tracks reuse a handful of compiled crop lengths.
+        n_needed = max(n, max(starts) + chunk)
+        n_pad = chunk
+        while n_pad < n_needed:
+            n_pad *= 2
+        if n_pad != n:
+            crops = np.concatenate(
+                [crops, np.repeat(crops[-1:], n_pad - n, axis=0)], axis=0
+            )
+        bucket = _bucket_batch(w)
+        starts_arr = np.zeros(bucket, np.int32)
+        starts_arr[:w] = np.asarray(starts, np.int32)
+        if bucket != w:
+            audio_windows = np.concatenate(
+                [audio_windows,
+                 np.repeat(audio_windows[-1:], bucket - w, axis=0)], axis=0
+            )
+        logits = np.asarray(
+            self._track_fwd(
+                jnp.asarray(crops, jnp.float32),
+                jnp.asarray(starts_arr),
+                jnp.asarray(audio_windows, jnp.float32),
+            ),
+            np.float32,
+        )
+        return logits[:w]
+
+    def score_track_probs(self, crops, starts, audio_windows) -> np.ndarray:
+        return self.calibrator(
+            self.score_track_logits(crops, starts, audio_windows)
+        )
 
     def warmup(self) -> None:
         """Compile the canonical window shape ahead of traffic."""

@@ -590,19 +590,38 @@ class Predictor:
             for ci in range(tr.num_chunks):
                 index.append((ti, ci))
 
-        def window_pairs():
-            for ti, ci in index:
-                tr = chunked_tracks[ti]
-                yield (
-                    tr.chunk(ci),
+        if hasattr(self.engine, "score_track_probs"):
+            # Zero-copy path: upload each track's crop sequence once and
+            # gather the 75%-overlapping windows on device.
+            all_probs = []
+            for tr in chunked_tracks:
+                audio_windows = np.stack([
                     policy.align_audio_chunk(
-                        audio_np_full, tr.abs_chunk_starts[ci], total_v_frames,
+                        audio_np_full, abs_start, total_v_frames,
                         chunk_a_size=self.model_config.audio_frames,
-                    ),
+                    )
+                    for abs_start in tr.abs_chunk_starts
+                ])
+                all_probs.extend(
+                    float(p) for p in self.engine.score_track_probs(
+                        tr.crops, tr.chunk_starts, audio_windows
+                    )
                 )
+        else:
+            def window_pairs():
+                for ti, ci in index:
+                    tr = chunked_tracks[ti]
+                    yield (
+                        tr.chunk(ci),
+                        policy.align_audio_chunk(
+                            audio_np_full, tr.abs_chunk_starts[ci],
+                            total_v_frames,
+                            chunk_a_size=self.model_config.audio_frames,
+                        ),
+                    )
 
-        # Streamed scoring: windows materialize per engine.max_batch group.
-        all_probs = self._score_window_iter(window_pairs())
+            # Streamed scoring: windows materialize per max_batch group.
+            all_probs = self._score_window_iter(window_pairs())
         probs_by_track: Dict[int, List[float]] = {}
         for (ti, ci), p in zip(index, all_probs):
             probs_by_track.setdefault(ti, []).append(p)

@@ -262,3 +262,26 @@ def test_load_engine_missing_path():
 
     with pytest.raises(FileNotFoundError):
         load_engine(Path("/nonexistent/weights.pth"), TINY)
+
+
+def test_score_track_matches_materialized_windows(tiny_engine, rng):
+    """Device window-gather path == host-materialized windows."""
+    n, chunk = 20, 8
+    crops = rng.rand(n, 32, 32, 3).astype(np.float32)
+    starts = [0, 4, 8, 12]
+    audio = (rng.rand(len(starts), 80, 32).astype(np.float32) * 60) - 60
+    gathered = tiny_engine.score_track_probs(crops, starts, audio)
+    materialized = tiny_engine.score_probs(
+        np.stack([crops[s : s + chunk] for s in starts]), audio
+    )
+    np.testing.assert_allclose(gathered, materialized, atol=2e-5)
+
+
+def test_score_track_pads_short_track(tiny_engine, rng):
+    """A track shorter than the window tail-pads with its last frame."""
+    crops = rng.rand(5, 32, 32, 3).astype(np.float32)  # < chunk_size 8
+    audio = (rng.rand(1, 80, 32).astype(np.float32) * 60) - 60
+    gathered = tiny_engine.score_track_probs(crops, [0], audio)
+    padded = np.concatenate([crops, np.repeat(crops[-1:], 3, axis=0)])
+    materialized = tiny_engine.score_probs(padded[None], audio)
+    np.testing.assert_allclose(gathered, materialized, atol=2e-5)
