@@ -34,7 +34,6 @@ from lipsync_tpu.preprocessing.audio import (
     preprocess_audio,
 )
 from lipsync_tpu.preprocessing.video import (
-    ChunkedTrack,
     preprocess_video,
     preprocess_video_tracks,
     preprocess_video_tracks_chunked,

@@ -16,7 +16,7 @@ Output: ``(B,)`` logits.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Dict, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,7 +13,7 @@ the reference's ``(B, D, T)`` transposed away); feature map
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,7 +9,6 @@ per-window tensors never round-trip through host float32.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

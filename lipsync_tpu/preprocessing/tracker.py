@@ -22,7 +22,7 @@ Behavioral parity preserved:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 from lipsync_tpu.preprocessing.face_detection import (
     Box,

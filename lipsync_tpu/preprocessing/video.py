@@ -23,12 +23,11 @@ import numpy as np
 from lipsync_tpu.ops.image import crop_resize_normalize
 from lipsync_tpu.preprocessing import ingest
 from lipsync_tpu.preprocessing.face_detection import (
-    Detection,
     FaceDetectorBackend,
     center_crop_box,
     get_default_backend,
 )
-from lipsync_tpu.preprocessing.tracker import TrackResult, track_faces
+from lipsync_tpu.preprocessing.tracker import track_faces
 from lipsync_tpu.utils.logger import get_logger
 
 logger = get_logger(__name__)

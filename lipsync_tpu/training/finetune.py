@@ -31,7 +31,6 @@ from lipsync_tpu.training.data import (
     BatchLoader,
     LipSyncDataset,
 )
-from lipsync_tpu.training.losses import bce_with_logits
 from lipsync_tpu.training.optimizers import make_phase_optimizer
 from lipsync_tpu.training.steps import (
     LossConfig,
@@ -40,10 +39,7 @@ from lipsync_tpu.training.steps import (
 )
 from lipsync_tpu.training.train import make_eval_fn, validate
 from lipsync_tpu.utils.logger import get_logger
-from lipsync_tpu.utils.metrics import (
-    compute_metrics_at_threshold,
-    find_best_threshold,
-)
+from lipsync_tpu.utils.metrics import find_best_threshold
 
 logger = get_logger(__name__)
 
