@@ -285,3 +285,21 @@ def test_score_track_pads_short_track(tiny_engine, rng):
     padded = np.concatenate([crops, np.repeat(crops[-1:], 3, axis=0)])
     materialized = tiny_engine.score_probs(padded[None], audio)
     np.testing.assert_allclose(gathered, materialized, atol=2e-5)
+
+
+def test_temporal_smoothed_spans_full_geometry(rng):
+    """At the canonical 32/128 geometry the smoother scores the full clip
+    plus three 16-frame half-windows at [0:16], [8:24], [16:32]
+    (predictor.py:295-331)."""
+    engine = StubEngine(script=[0.9, 0.4, 0.6, 0.8])
+    full_cfg = ModelConfig()  # 32 frames, 128 mel
+    p = Predictor(config=PredictorConfig(), model_config=full_cfg,
+                  engine=engine)
+    visual = rng.rand(32, 96, 96, 3).astype(np.float32)
+    audio = (rng.rand(80, 128).astype(np.float32) * 60) - 60
+    agg, confs, spans = p._temporal_smoothed_confidence(visual, audio)
+    assert spans == [(0, 32), (0, 16), (8, 24), (16, 32)]
+    np.testing.assert_allclose(confs, [0.9, 0.4, 0.6, 0.8], atol=1e-6)
+    assert agg == pytest.approx(np.median(confs), abs=1e-6)
+    # Two batched calls: full clip (1) + the three sub-windows (3).
+    assert engine.calls == [1, 3]
