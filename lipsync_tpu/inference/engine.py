@@ -80,13 +80,13 @@ class ScoringEngine:
 
         chunk_size = config.video_frames
 
-        def track_forward(crops, starts, audio):
+        def track_forward(crops_u8, starts, audio):
             # Zero-copy window extraction on device: the track's crop
-            # sequence uploads ONCE and the 75%-overlapping windows are
-            # gathered inside the program (the host/transfer cost of
-            # materializing every window is 4x the track itself).
+            # sequence uploads ONCE as uint8 (4x less transfer; matches the
+            # reference's uint8 crop precision, video.py:431-441) and the
+            # 75%-overlapping windows are gathered inside the program.
             idx = starts[:, None] + jnp.arange(chunk_size)[None, :]
-            windows = crops[idx]  # (W, T, crop, crop, 3)
+            windows = crops_u8[idx].astype(jnp.float32) / 255.0
             return model.apply(variables_ref, windows, audio)
 
         self._track_fwd = jax.jit(track_forward)
@@ -168,6 +168,8 @@ class ScoringEngine:
                 for i in range(0, w, self.max_batch)
             ])
         chunk = self.config.video_frames
+        if crops.dtype != np.uint8:  # [0,1] floats -> uint8 for transfer
+            crops = np.clip(crops * 255.0 + 0.5, 0, 255).astype(np.uint8)
         n = crops.shape[0]
         # Pad the crop sequence (x2 buckets) so every start+chunk fits and
         # long tracks reuse a handful of compiled crop lengths.

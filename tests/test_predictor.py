@@ -271,8 +271,12 @@ def test_score_track_matches_materialized_windows(tiny_engine, rng):
     starts = [0, 4, 8, 12]
     audio = (rng.rand(len(starts), 80, 32).astype(np.float32) * 60) - 60
     gathered = tiny_engine.score_track_probs(crops, starts, audio)
+    # The gather path transfers uint8 (reference crop precision); quantize
+    # the materialized comparison identically.
+    crops_q = np.clip(crops * 255.0 + 0.5, 0, 255).astype(np.uint8) / 255.0
     materialized = tiny_engine.score_probs(
-        np.stack([crops[s : s + chunk] for s in starts]), audio
+        np.stack([crops_q[s : s + chunk] for s in starts]).astype(np.float32),
+        audio,
     )
     np.testing.assert_allclose(gathered, materialized, atol=2e-5)
 
@@ -282,8 +286,11 @@ def test_score_track_pads_short_track(tiny_engine, rng):
     crops = rng.rand(5, 32, 32, 3).astype(np.float32)  # < chunk_size 8
     audio = (rng.rand(1, 80, 32).astype(np.float32) * 60) - 60
     gathered = tiny_engine.score_track_probs(crops, [0], audio)
-    padded = np.concatenate([crops, np.repeat(crops[-1:], 3, axis=0)])
-    materialized = tiny_engine.score_probs(padded[None], audio)
+    crops_q = np.clip(crops * 255.0 + 0.5, 0, 255).astype(np.uint8) / 255.0
+    padded = np.concatenate([crops_q, np.repeat(crops_q[-1:], 3, axis=0)])
+    materialized = tiny_engine.score_probs(
+        padded[None].astype(np.float32), audio
+    )
     np.testing.assert_allclose(gathered, materialized, atol=2e-5)
 
 
