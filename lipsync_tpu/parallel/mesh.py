@@ -55,3 +55,31 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def pad_batch_to_multiple(batch: dict, n_dev: int) -> dict:
+    """Pad every array's axis 0 up to a multiple of ``n_dev`` (repeating the
+    last row) and attach a 0/1 ``sample_mask`` marking real rows.
+
+    Fixes the ragged-final-batch hazard: an un-padded remainder batch can't
+    shard evenly over the mesh, which would commit it to one device and
+    compile a second (unsharded) program. The mask is threaded into the
+    losses/metrics so padded rows contribute nothing (train step:
+    ``lipsync_tpu.training.steps``). Always adds the mask — even when no
+    padding is needed — so full batches reuse one compiled program family.
+    """
+    b = int(next(iter(batch.values())).shape[0])
+    target = pad_to_multiple(b, n_dev)
+    mask = np.zeros((target,), np.float32)
+    mask[:b] = 1.0
+    if target != b:
+        batch = {
+            k: np.concatenate(
+                [v, np.repeat(v[-1:], target - b, axis=0)], axis=0
+            )
+            for k, v in batch.items()
+        }
+    else:
+        batch = dict(batch)
+    batch["sample_mask"] = mask
+    return batch

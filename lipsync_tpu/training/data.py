@@ -9,9 +9,10 @@ Re-design of `/root/reference/app/training/dataset.py`,
   with exact mel alignment ``mel_start = start/fps * 100 Hz``
   (dataset.py:348-448) as a standalone pure function.
 * ``LipSyncDataset`` — raw-video mode (native ingest + tracker) and
-  preprocessed mode (``manifest.jsonl`` + npy blobs, the
-  precompute_training_tensors.py contract). Failed samples return None and
-  are skipped end-to-end (dataset.py:498-530, collate.py:12-34).
+  preprocessed mode (``manifest.jsonl`` + npy files / zarr group / lmdb
+  blobs, the precompute_training_tensors.py contract; dataset.py:245-318).
+  Failed samples return None and are skipped end-to-end
+  (dataset.py:498-530, collate.py:12-34).
 * ``Augmentations`` — shape-preserving speed warp, h-flip, rotation,
   brightness/contrast, Gaussian noise (augmentation.py:67-140).
 * ``BatchLoader`` — shuffling, None-dropping host loader with a
@@ -256,6 +257,7 @@ class LipSyncDataset:
         preprocessed_dir: Optional[Path] = None,
         detector_backend=None,
         require_face_detection: bool = True,
+        storage_format: str = "auto",
     ):
         self.split = split
         self.video_frames = video_frames
@@ -266,6 +268,9 @@ class LipSyncDataset:
             Path(preprocessed_dir) if preprocessed_dir else None
         )
         self.use_preprocessed = self.preprocessed_dir is not None
+        self.storage_format = storage_format
+        self._zarr_root = None
+        self._lmdb_env = None
         self._failed: Dict[int, str] = {}
 
         if self.use_preprocessed:
@@ -284,6 +289,13 @@ class LipSyncDataset:
                  int(r["label"]))
                 for i, r in enumerate(self._manifest)
             ]
+            if self.storage_format == "auto":
+                self.storage_format = self._detect_storage_format()
+            if self.storage_format not in ("npy", "zarr", "lmdb"):
+                raise ValueError(
+                    f"Unsupported storage_format={self.storage_format!r} "
+                    "(expected npy, zarr or lmdb)"
+                )
         else:
             if data_dir is None:
                 raise ValueError("data_dir or preprocessed_dir required")
@@ -322,11 +334,84 @@ class LipSyncDataset:
         audio = preprocess_audio(path, target_frames=self.audio_frames)
         return visual, audio, np.float32(label)
 
+    def _detect_storage_format(self) -> str:
+        """Infer the store from manifest records or on-disk layout
+        (reference dataset.py:236-243 takes an explicit flag; auto-detect
+        keeps our round-1 npy manifests working unchanged)."""
+        rec0 = self._manifest[0]
+        fmt = rec0.get("storage_format")
+        if fmt:
+            return str(fmt)
+        if "visual_relpath" in rec0:
+            return "npy"
+        if (self.preprocessed_dir / "samples.zarr").exists():
+            return "zarr"
+        if (self.preprocessed_dir / "samples.lmdb").exists():
+            return "lmdb"
+        return "npy"
+
+    def _init_zarr(self):
+        """Open samples.zarr (reference dataset.py:268-285) via the real
+        wheel when present, else the in-repo v2 codec."""
+        if self._zarr_root is None:
+            path = self.preprocessed_dir / "samples.zarr"
+            if not path.exists():
+                raise ValueError(f"Zarr path not found: {path}")
+            try:
+                import zarr  # type: ignore
+
+                self._zarr_root = zarr.open_group(str(path), mode="r")
+            except ImportError:
+                from lipsync_tpu.utils import zarrlite
+
+                self._zarr_root = zarrlite.open_group(path, mode="r")
+        return self._zarr_root
+
+    def _init_lmdb(self):
+        if self._lmdb_env is None:
+            try:
+                import lmdb  # type: ignore
+            except ImportError as e:
+                raise RuntimeError(
+                    "LMDB storage selected but `lmdb` is not installed. "
+                    "Install with: pip install lmdb"
+                ) from e
+            path = self.preprocessed_dir / "samples.lmdb"
+            if not path.exists():
+                raise ValueError(f"LMDB path not found: {path}")
+            self._lmdb_env = lmdb.open(
+                str(path), readonly=True, lock=False, readahead=False,
+                meminit=False, max_readers=256, subdir=False,
+            )
+        return self._lmdb_env
+
+    def _load_tensors(self, rec) -> Tuple[np.ndarray, np.ndarray]:
+        if self.storage_format == "zarr":
+            root = self._init_zarr()
+            key = str(rec["key"])
+            if key not in root:
+                raise KeyError(f"Zarr key not found: {key}")
+            grp = root[key]
+            return grp["visual"][:], grp["audio"][:]
+        if self.storage_format == "lmdb":
+            import io
+
+            env = self._init_lmdb()
+            with env.begin(write=False) as txn:
+                blob = txn.get(str(rec["key"]).encode("utf-8"))
+            if blob is None:
+                raise KeyError(f"LMDB key not found: {rec['key']}")
+            with np.load(io.BytesIO(blob), allow_pickle=False) as data:
+                return data["visual"], data["audio"]
+        return (
+            np.load(self.preprocessed_dir / rec["visual_relpath"]),
+            np.load(self.preprocessed_dir / rec["audio_relpath"]),
+        )
+
     def _load_preprocessed(self, idx: int, train_mode_override):
         rec = self._manifest[idx]
         label = np.float32(rec["label"])
-        visual = np.load(self.preprocessed_dir / rec["visual_relpath"])
-        audio = np.load(self.preprocessed_dir / rec["audio_relpath"])
+        visual, audio = self._load_tensors(rec)
         mode = rec.get("precompute_mode", "fixed_clip")
         if mode == "full_sequence":
             train_default = (

@@ -15,11 +15,23 @@ import jax
 import jax.numpy as jnp
 
 
-def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean binary cross-entropy on logits (torch BCEWithLogitsLoss)."""
+def bce_with_logits(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    sample_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Mean binary cross-entropy on logits (torch BCEWithLogitsLoss).
+
+    ``sample_mask`` (B,) excludes padded rows (ragged final batches are
+    padded to a device multiple for sharded training) from the mean.
+    """
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)
-    return -jnp.mean(labels * log_p + (1.0 - labels) * log_not_p)
+    per_sample = -(labels * log_p + (1.0 - labels) * log_not_p)
+    if sample_mask is None:
+        return jnp.mean(per_sample)
+    m = sample_mask.astype(jnp.float32)
+    return jnp.sum(per_sample * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def _pooled_normalize(tokens: jnp.ndarray) -> jnp.ndarray:
@@ -68,9 +80,15 @@ def cross_modal_contrastive_loss(
     labels: jnp.ndarray,
     temperature: float = 0.07,
     fake_margin: float = 0.10,
+    sample_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Batch InfoNCE on real pairs + margin push-down of the diagonal vs the
-    hardest negative for fake pairs (losses.py:55-104)."""
+    hardest negative for fake pairs (losses.py:55-104).
+
+    ``sample_mask`` (B,) excludes padded rows entirely: they contribute no
+    loss terms AND never appear as negatives for valid rows, so a padded
+    batch reproduces the unpadded loss exactly.
+    """
     labels = labels.reshape(-1)
     v = _pooled_normalize(visual_tokens)
     a = _pooled_normalize(audio_tokens)
@@ -78,22 +96,33 @@ def cross_modal_contrastive_loss(
     b = sim.shape[0]
     diag = jnp.diagonal(sim)
 
-    real_f = (labels >= 0.5).astype(jnp.float32)
-    fake_f = 1.0 - real_f
+    # Finite sentinel (|sim| <= 1/temperature << 1e9) so a fully-masked
+    # row's max stays finite and downstream 0-weights kill it cleanly.
+    NEG = -1e9
+    if sample_mask is None:
+        valid = jnp.ones((b,), jnp.float32)
+    else:
+        valid = sample_mask.reshape(-1).astype(jnp.float32)
+    real_f = (labels >= 0.5).astype(jnp.float32) * valid
+    fake_f = (1.0 - (labels >= 0.5).astype(jnp.float32)) * valid
     n_real = jnp.sum(real_f)
     n_fake = jnp.sum(fake_f)
+    n_valid = jnp.sum(valid)
 
-    # Row/column InfoNCE over the full batch of classes, averaged on real rows.
-    row_ce = jax.nn.logsumexp(sim, axis=1) - diag
-    col_ce = jax.nn.logsumexp(sim, axis=0) - diag
+    # Padded rows/columns are removed from the negative pools.
+    sim_cols = jnp.where(valid[None, :] > 0, sim, NEG)
+    sim_rows = jnp.where(valid[:, None] > 0, sim, NEG)
+
+    # Row/column InfoNCE over the valid batch of classes, averaged on real rows.
+    row_ce = jax.nn.logsumexp(sim_cols, axis=1) - diag
+    col_ce = jax.nn.logsumexp(sim_rows, axis=0) - diag
     real_row = jnp.sum(row_ce * real_f) / jnp.maximum(n_real, 1.0)
     real_col = jnp.sum(col_ce * real_f) / jnp.maximum(n_real, 1.0)
 
-    # Fake margin term (only defined for batch > 1).
+    # Fake margin term (only defined for >1 valid sample).
     eye = jnp.eye(b, dtype=bool)
-    off = jnp.where(eye, -jnp.inf, sim)
-    hardest_row = jnp.max(off, axis=1)
-    hardest_col = jnp.max(off, axis=0)
+    hardest_row = jnp.max(jnp.where(eye, NEG, sim_cols), axis=1)
+    hardest_col = jnp.max(jnp.where(eye, NEG, sim_rows), axis=0)
     row_loss = jnp.sum(
         jax.nn.relu(diag - hardest_row + fake_margin) * fake_f
     ) / jnp.maximum(n_fake, 1.0)
@@ -103,7 +132,7 @@ def cross_modal_contrastive_loss(
     fake_term = 0.5 * (row_loss + col_loss)
 
     has_real = (n_real > 0).astype(jnp.float32)
-    has_fake = jnp.logical_and(n_fake > 0, b > 1).astype(jnp.float32)
+    has_fake = jnp.logical_and(n_fake > 0, n_valid > 1).astype(jnp.float32)
     total = has_real * (real_row + real_col) + has_fake * fake_term
     n_terms = 2.0 * has_real + has_fake
     return jnp.where(n_terms > 0, total / jnp.maximum(n_terms, 1.0), 0.0)

@@ -91,13 +91,18 @@ def make_train_step(
             rngs={"dropout": dropout_rng},
         )
         labels = batch["label"].astype(jnp.float32)
-        bce = bce_with_logits(logits, labels)
+        # Optional (B,) 0/1 mask excluding pad rows: ragged final batches
+        # are padded to a device multiple so every step runs sharded
+        # (key presence is static per compiled program).
+        sample_mask = batch.get("sample_mask")
+        bce = bce_with_logits(logits, labels, sample_mask=sample_mask)
         cm = cross_modal_contrastive_loss(
             aux["visual_tokens"],
             aux["audio_tokens"],
             labels,
             temperature=loss_cfg.contrastive_temperature,
             fake_margin=loss_cfg.contrastive_fake_margin,
+            sample_mask=sample_mask,
         )
         loss = bce + loss_cfg.contrastive_weight * cm
 
@@ -113,17 +118,25 @@ def make_train_step(
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
+            real_mask = labels >= 0.5
+            if sample_mask is not None:
+                real_mask = jnp.logical_and(real_mask, sample_mask > 0)
             sync = sync_contrastive_loss(
                 aux["visual_tokens"],
                 aux["audio_tokens"],
                 [aux_neg["audio_tokens"]],
-                real_mask=labels >= 0.5,
+                real_mask=real_mask,
                 temperature=loss_cfg.contrastive_temperature,
             )
             loss = loss + loss_cfg.sync_weight * sync
 
         preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
-        acc = jnp.mean(preds == labels)
+        correct = (preds == labels).astype(jnp.float32)
+        if sample_mask is None:
+            acc = jnp.mean(correct)
+        else:
+            m = sample_mask.astype(jnp.float32)
+            acc = jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0)
         metrics = {"loss": loss, "bce": bce, "contrastive": cm, "sync": sync,
                    "accuracy": acc}
         return loss, (mutated["batch_stats"], metrics)

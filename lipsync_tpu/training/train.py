@@ -236,9 +236,12 @@ def run_training(args, detector_backend=None) -> Dict[str, float]:
         t0 = time.time()
         losses, accs, steps = [], [], 0
         for batch in train_loader:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None and jb["label"].shape[0] % n_dev == 0:
+            if mesh is not None:
+                batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
                 jb = mesh_lib.shard_batch(jb, mesh)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = train_step(state, jb)
             losses.append(float(metrics["loss"]))
             accs.append(float(metrics["accuracy"]))

@@ -2,10 +2,12 @@
 
 Port of `/root/reference/scripts/precompute_training_tensors.py`:
 two modes (``fixed_clip`` = model-ready windows, ``full_sequence`` = full
-uint8 crop sequence + full mel for random-window sampling at train time),
-npy storage + ``manifest.jsonl``, and source-path-based incremental resume
+uint8 crop sequence + full mel for random-window sampling at train time,
+:67-119), three storage formats (npy files / zarr group / lmdb npz blobs,
+:319-353) + ``manifest.jsonl``, and source-path-based incremental resume
 (:359-391). Native layouts; decoding/detection run through the framework's
-ingest + tracker stack.
+ingest + tracker stack; zarr needs no wheel (in-repo v2 codec,
+``lipsync_tpu.utils.zarrlite``).
 
 Usage:
     python scripts/precompute_training_tensors.py \
@@ -35,6 +37,77 @@ from lipsync_tpu.utils.logger import get_logger  # noqa: E402
 logger = get_logger("precompute")
 
 
+def _open_store(out_dir: Path, storage_format: str, map_size_gb: int = 16):
+    """Open the tensor store for ``zarr``/``lmdb`` formats (None for npy).
+
+    zarr uses the in-repo dependency-free v2 codec
+    (`lipsync_tpu.utils.zarrlite`) — or the real wheel when installed —
+    writing the reference layout ``samples.zarr/<key>/{visual,audio}``
+    (reference precompute_training_tensors.py:341-353). lmdb mirrors the
+    reference's install-gated behavior (:322-340): the wheel is absent in
+    this environment, so selecting it raises with the fix.
+    """
+    if storage_format == "npy":
+        return None
+    if storage_format == "zarr":
+        try:
+            import zarr  # type: ignore
+
+            path = out_dir / "samples.zarr"
+            return zarr.open_group(str(path), mode="a")
+        except ImportError:
+            from lipsync_tpu.utils import zarrlite
+
+            return zarrlite.open_group(out_dir / "samples.zarr", mode="a")
+    if storage_format == "lmdb":
+        try:
+            import lmdb  # type: ignore
+        except ImportError as e:
+            raise RuntimeError(
+                "LMDB storage selected but `lmdb` is not installed. "
+                "Install with: pip install lmdb (or use --storage-format "
+                "zarr, which needs no wheel here)"
+            ) from e
+        env = lmdb.open(
+            str(out_dir / "samples.lmdb"),
+            map_size=int(map_size_gb) * (1024 ** 3),
+            subdir=False,
+            lock=True,
+        )
+        return env
+    raise ValueError(f"Unknown storage format: {storage_format}")
+
+
+def _store_sample(
+    store,
+    storage_format: str,
+    out_dir: Path,
+    key: str,
+    visual: np.ndarray,
+    audio: np.ndarray,
+) -> dict:
+    """Persist one sample; returns storage fields for the manifest record."""
+    if storage_format == "npy":
+        visual_rel = f"{key}_visual.npy"
+        audio_rel = f"{key}_audio.npy"
+        np.save(out_dir / visual_rel, visual)
+        np.save(out_dir / audio_rel, audio)
+        return {"visual_relpath": visual_rel, "audio_relpath": audio_rel}
+    if storage_format == "zarr":
+        grp = store.require_group(key)
+        grp.create_array("visual", visual)
+        grp.create_array("audio", audio)
+        return {}
+    # lmdb: one npz blob per key (reference precompute :148-153)
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, visual=visual, audio=audio)
+    with store.begin(write=True) as txn:
+        txn.put(key.encode("utf-8"), buf.getvalue())
+    return {}
+
+
 def precompute_one(
     path: Path,
     label: int,
@@ -46,6 +119,8 @@ def precompute_one(
     target_fps: float,
     backend=None,
     use_face_detection: bool = True,
+    storage_format: str = "npy",
+    store=None,
 ) -> dict:
     key = f"sample_{index:06d}"
     if mode == "fixed_clip":
@@ -75,22 +150,22 @@ def precompute_one(
             visual = (crops * 255.0).astype(np.uint8)
         audio = preprocess_audio(path)  # full (80, T)
 
-    visual_rel = f"{key}_visual.npy"
-    audio_rel = f"{key}_audio.npy"
-    np.save(out_dir / visual_rel, visual)
-    np.save(out_dir / audio_rel, audio)
-    return {
+    storage_fields = _store_sample(
+        store, storage_format, out_dir, key, visual, audio
+    )
+    rec = {
         "key": key,
         "source_path": str(path),
         "label": int(label),
-        "visual_relpath": visual_rel,
-        "audio_relpath": audio_rel,
         "precompute_mode": mode,
+        "storage_format": storage_format,
         "target_fps": target_fps,
         "mel_hz": 100.0,
         "visual_shape": list(visual.shape),
         "audio_shape": list(audio.shape),
     }
+    rec.update(storage_fields)
+    return rec
 
 
 def main() -> None:
@@ -104,11 +179,17 @@ def main() -> None:
     p.add_argument("--target-fps", type=float, default=15.0)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--no-face-detection", action="store_true")
+    p.add_argument("--storage-format", choices=["npy", "zarr", "lmdb"],
+                   default="zarr",
+                   help="Tensor store (reference default: zarr; zarr here "
+                        "needs no wheel — in-repo v2 codec)")
+    p.add_argument("--lmdb-map-size-gb", type=int, default=16)
     args = p.parse_args()
 
     out = args.output_dir
     out.mkdir(parents=True, exist_ok=True)
     manifest_path = out / "manifest.jsonl"
+    store = _open_store(out, args.storage_format, args.lmdb_map_size_gb)
 
     done_sources = set()
     records = []
@@ -135,6 +216,7 @@ def main() -> None:
                     path, label, out, len(records), args.mode,
                     args.video_frames, args.audio_frames, args.target_fps,
                     use_face_detection=not args.no_face_detection,
+                    storage_format=args.storage_format, store=store,
                 )
             except Exception as e:
                 logger.warning("Failed %s: %s", path, e)
@@ -147,6 +229,9 @@ def main() -> None:
             if n_done % 25 == 0:
                 logger.info("Precomputed %d samples (%d failed)",
                             n_done, n_failed)
+    if args.storage_format == "lmdb" and store is not None:
+        store.sync()
+        store.close()
     logger.info("Done: %d new samples, %d failed, %d total",
                 n_done, n_failed, len(records))
 

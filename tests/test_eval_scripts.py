@@ -137,6 +137,39 @@ def test_validate_pipeline_preprocessed_mode(preprocessed_dir, tmp_path):
     assert len(rows) == 10
 
 
+def test_validate_pipeline_preprocessed_zarr(tmp_path, rng):
+    """Same eval path over a zarr-v2 store (reference storage contract,
+    precompute_training_tensors.py:341-353)."""
+    from lipsync_tpu.utils import zarrlite
+
+    pre = tmp_path / "prez"
+    pre.mkdir()
+    root = zarrlite.open_group(pre / "samples.zarr", mode="a")
+    recs = []
+    for i in range(10):
+        label = i % 2
+        key = f"s{i:04d}"
+        grp = root.require_group(key)
+        grp.create_array(
+            "visual", np.full((4, 8, 8, 3), 0.9 if label else 0.1, np.float32)
+        )
+        grp.create_array("audio", np.zeros((80, 16), np.float32))
+        recs.append({
+            "key": key, "source_path": f"/x/{key}.mp4", "label": label,
+            "precompute_mode": "fixed_clip", "storage_format": "zarr",
+        })
+    (pre / "manifest.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs)
+    )
+    args = validate_pipeline.build_argparser().parse_args([
+        "--preprocessed-dir", str(pre),
+        "--output-dir", str(tmp_path / "outz"),
+        "--batch-size", "4",
+    ])
+    m = validate_pipeline.run_preprocessed_mode(args, engine=StubEngine())
+    assert m["accuracy"] == 1.0
+
+
 def test_run_grid_eval_labels_csv(tmp_path):
     csv_path = tmp_path / "labels.csv"
     with csv_path.open("w", newline="") as f:
