@@ -78,6 +78,11 @@ class PredictorConfig:
     # Temporal-minority fake gate
     fake_vote_gate: float = 0.15
     fake_vote_min_windows: int = 5
+    # Pipelined long-video path: overlap host detection with device scoring
+    # (new TPU-first surface; falls back to the batch path for engines
+    # without async dispatch, e.g. test stubs).
+    pipelined_long_video: bool = True
+    target_fps: float = 15.0
 
     def __post_init__(self):
         if self.confidence_smoothing not in {"none", "median", "trimmed_mean"}:
@@ -563,15 +568,41 @@ class Predictor:
             logger.warning("VAD detection failed, using fallback: %s", e)
             vad_mask = np.ones(total_a_frames, dtype=bool)
 
-        chunked_tracks, fps, total_v_frames = preprocess_video_tracks_chunked(
-            video_path,
-            chunk_size=cfg.chunk_size,
-            stride=cfg.chunk_stride,
-            max_tracks=cfg.max_tracks,
-            crop_size=self.model_config.crop_size,
-            max_total_frames=cfg.max_total_frames,
-            backend=self.backend,
-        )
+        pipelined_probs: Optional[Dict[int, List[float]]] = None
+        if cfg.pipelined_long_video and hasattr(
+            self.engine, "dispatch_track_logits"
+        ):
+            # Overlapped path: detection (host) and scoring (device) run
+            # concurrently via async dispatch (see inference/pipelined.py).
+            from lipsync_tpu.inference.pipelined import (
+                score_long_video_pipelined,
+            )
+
+            frames = ingest.read_video(
+                video_path, cfg.target_fps, cfg.max_total_frames
+            )
+            fps, total_v_frames = cfg.target_fps, len(frames)
+            chunked_tracks, pipelined_probs = score_long_video_pipelined(
+                frames, audio_np_full, self.engine,
+                backend=self.backend,
+                chunk_size=cfg.chunk_size,
+                stride=cfg.chunk_stride,
+                max_tracks=cfg.max_tracks,
+                crop_size=self.model_config.crop_size,
+                audio_frames=self.model_config.audio_frames,
+            )
+        else:
+            chunked_tracks, fps, total_v_frames = (
+                preprocess_video_tracks_chunked(
+                    video_path,
+                    chunk_size=cfg.chunk_size,
+                    stride=cfg.chunk_stride,
+                    max_tracks=cfg.max_tracks,
+                    crop_size=self.model_config.crop_size,
+                    max_total_frames=cfg.max_total_frames,
+                    backend=self.backend,
+                )
+            )
         t_pre_end = perf_counter()
         logger.info(
             "Long-video preprocessing: %.1fs video, %d frames, %d audio "
@@ -589,7 +620,14 @@ class Predictor:
             for ci in range(tr.num_chunks):
                 index.append((ti, ci))
 
-        if hasattr(self.engine, "score_track_probs"):
+        if pipelined_probs is not None:
+            # Already scored during detection (overlapped); flatten in the
+            # same (track, chunk) order the index expects.
+            all_probs = [
+                p for ti in range(len(chunked_tracks))
+                for p in pipelined_probs[ti]
+            ]
+        elif hasattr(self.engine, "score_track_probs"):
             # Zero-copy path: upload each track's crop sequence once and
             # gather the 75%-overlapping windows on device.
             all_probs = []

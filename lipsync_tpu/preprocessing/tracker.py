@@ -79,30 +79,50 @@ def _lerp_bbox(b_from: Box, b_to: Box, t: float) -> Box:
     )  # type: ignore[return-value]
 
 
-def track_faces(
-    detections_per_frame: Sequence[Sequence[Detection]],
-    frame_height: int,
-    frame_width: int,
-    max_tracks: int = 5,
-    iou_threshold: float = 0.25,
-    iou_threshold_relaxed: float = 0.12,
-    max_age: int = 15,
-    min_stability: float = 0.35,
-    crop_size: int = 96,
-) -> List[TrackResult]:
-    """Run the tracker over pre-computed detections."""
-    tracks: List[TrackState] = []
-    completed: List[TrackState] = []
-    next_id = 0
-    total_frames = max(1, len(detections_per_frame))
-    center_box = center_crop_box(frame_height, frame_width, crop_size)
+class StreamingTracker:
+    """Incremental form of the tracker: feed one frame's detections at a
+    time and read back *finalized* (immutable) box prefixes per track.
 
-    for t_idx, detections in enumerate(detections_per_frame):
+    This enables the pipelined long-video path: while the host detector
+    works on frame t, windows whose boxes can no longer change are already
+    scoring on the device. A slot is immutable once the tracker has
+    advanced ``max_age + 1`` frames past it — lerp backfill on track
+    re-acquisition (:869-884 in the reference) only ever rewrites the last
+    ``age <= max_age`` slots — or once its track has retired.
+    """
+
+    def __init__(
+        self,
+        frame_height: int,
+        frame_width: int,
+        max_tracks: int = 5,
+        iou_threshold: float = 0.25,
+        iou_threshold_relaxed: float = 0.12,
+        max_age: int = 15,
+        min_stability: float = 0.35,
+        crop_size: int = 96,
+    ):
+        self.frame_height = frame_height
+        self.frame_width = frame_width
+        self.max_tracks = max_tracks
+        self.iou_threshold = iou_threshold
+        self.iou_threshold_relaxed = iou_threshold_relaxed
+        self.max_age = max_age
+        self.min_stability = min_stability
+        self.center_box = center_crop_box(frame_height, frame_width, crop_size)
+        self.tracks: List[TrackState] = []
+        self.completed: List[TrackState] = []
+        self.next_id = 0
+        self.frames_consumed = 0
+
+    def update(self, detections: Sequence[Detection]) -> None:
+        """Consume one frame's detections (frame index = frames_consumed)."""
+        t_idx = self.frames_consumed
         boxes = [d.bbox for d in detections]
         matched: set = set()
 
-        for tr in tracks:
-            if tr.age > max_age:
+        for tr in self.tracks:
+            if tr.age > self.max_age:
                 continue
             predicted = (
                 _predict_bbox(tr.last_bbox, tr.velocity, steps=tr.age + 1)
@@ -116,7 +136,9 @@ def track_faces(
                 score = bbox_iou(predicted, box)
                 if score > best_iou:
                     best_iou, best_idx = score, i
-            threshold = iou_threshold_relaxed if tr.age > 0 else iou_threshold
+            threshold = (
+                self.iou_threshold_relaxed if tr.age > 0 else self.iou_threshold
+            )
 
             if best_idx >= 0 and best_iou >= threshold:
                 matched.add(best_idx)
@@ -150,10 +172,10 @@ def track_faces(
                 placeholder = (
                     _predict_bbox(tr.last_bbox, tr.velocity)
                     if tr.boxes
-                    else center_box
+                    else self.center_box
                 )
-                tr.boxes.append(_clamp_box(placeholder, frame_height,
-                                           frame_width, center_box))
+                tr.boxes.append(_clamp_box(placeholder, self.frame_height,
+                                           self.frame_width, self.center_box))
                 tr.age += 1
                 tr.consecutive_miss += 1
                 tr.max_consecutive_miss = max(
@@ -162,27 +184,44 @@ def track_faces(
                 tr.miss_frame_indices.append(t_idx)
 
         # Retire expired tracks (retained, not deleted).
-        completed.extend(tr for tr in tracks if tr.age > max_age)
-        tracks = [tr for tr in tracks if tr.age <= max_age]
+        self.completed.extend(
+            tr for tr in self.tracks if tr.age > self.max_age
+        )
+        self.tracks = [tr for tr in self.tracks if tr.age <= self.max_age]
 
         # New tracks for unmatched detections, capped at max_tracks.
         for i, box in enumerate(boxes):
-            if i in matched or len(tracks) >= max_tracks:
+            if i in matched or len(self.tracks) >= self.max_tracks:
                 continue
-            tracks.append(
+            self.tracks.append(
                 TrackState(
-                    track_id=next_id,
+                    track_id=self.next_id,
                     start_frame_idx=t_idx,
                     end_frame_idx=t_idx,
                     last_bbox=box,
                     boxes=[box],
                 )
             )
-            next_id += 1
+            self.next_id += 1
+        self.frames_consumed = t_idx + 1
 
-    all_tracks = completed + tracks
+    # -- incremental readback ------------------------------------------------
+    def all_states(self) -> List[TrackState]:
+        return self.completed + self.tracks
 
-    def weighted_stability(tr: TrackState) -> float:
+    def finalized_length(self, tr: TrackState, done: bool = False) -> int:
+        """Immutable prefix length of ``tr.boxes`` given frames consumed.
+
+        ``done=True`` (end of stream) or retirement finalizes everything.
+        """
+        if done or any(tr is c for c in self.completed):  # retired = frozen
+            return len(tr.boxes)
+        safe = self.frames_consumed - self.max_age - tr.start_frame_idx
+        return max(0, min(len(tr.boxes), safe))
+
+    def stability(self, tr: TrackState) -> float:
+        """Span-relative weighted stability with consecutive-miss penalty
+        (reference face_detection.py:1000-1020)."""
         span = max(1, tr.end_frame_idx - tr.start_frame_idx + 1)
         base = float(tr.hits) / span
         if tr.max_consecutive_miss <= 1:
@@ -190,25 +229,57 @@ def track_faces(
         penalty = min(0.5, (tr.max_consecutive_miss - 1) * 0.15)
         return base * (1.0 - penalty)
 
-    scored = [(weighted_stability(tr), tr) for tr in all_tracks]
-    viable = [(s, tr) for s, tr in scored if s >= min_stability] or scored
-    viable.sort(key=lambda st: st[0], reverse=True)
+    def finalize(self) -> List[TrackResult]:
+        """Min-stability filter with keep-best fallback, top-``max_tracks``
+        (reference face_detection.py:1047-1056)."""
+        total_frames = max(1, self.frames_consumed)
+        scored = [(self.stability(tr), tr) for tr in self.all_states()]
+        viable = [
+            (s, tr) for s, tr in scored if s >= self.min_stability
+        ] or scored
+        viable.sort(key=lambda st: st[0], reverse=True)
 
-    results = []
-    for stability, tr in viable[:max_tracks]:
-        results.append(
-            TrackResult(
-                track_id=tr.track_id,
-                boxes=list(tr.boxes),
-                hits=tr.hits,
-                total_frames=total_frames,
-                stability=float(stability),
-                consecutive_miss_max=tr.max_consecutive_miss,
-                track_start_frame=tr.start_frame_idx,
-                track_end_frame=tr.end_frame_idx,
+        results = []
+        for stability, tr in viable[: self.max_tracks]:
+            results.append(
+                TrackResult(
+                    track_id=tr.track_id,
+                    boxes=list(tr.boxes),
+                    hits=tr.hits,
+                    total_frames=total_frames,
+                    stability=float(stability),
+                    consecutive_miss_max=tr.max_consecutive_miss,
+                    track_start_frame=tr.start_frame_idx,
+                    track_end_frame=tr.end_frame_idx,
+                )
             )
-        )
-    return results
+        return results
+
+
+def track_faces(
+    detections_per_frame: Sequence[Sequence[Detection]],
+    frame_height: int,
+    frame_width: int,
+    max_tracks: int = 5,
+    iou_threshold: float = 0.25,
+    iou_threshold_relaxed: float = 0.12,
+    max_age: int = 15,
+    min_stability: float = 0.35,
+    crop_size: int = 96,
+) -> List[TrackResult]:
+    """Run the tracker over pre-computed detections (batch form)."""
+    st = StreamingTracker(
+        frame_height, frame_width,
+        max_tracks=max_tracks,
+        iou_threshold=iou_threshold,
+        iou_threshold_relaxed=iou_threshold_relaxed,
+        max_age=max_age,
+        min_stability=min_stability,
+        crop_size=crop_size,
+    )
+    for detections in detections_per_frame:
+        st.update(detections)
+    return st.finalize()
 
 
 def _clamp_box(box: Box, h: int, w: int, fallback: Box) -> Box:

@@ -70,6 +70,48 @@ def crop_track_on_device(
     return np.asarray(crops[:n])
 
 
+def crop_mouth_uint8(
+    frame: np.ndarray, box: Sequence[int], out_size: int = 96
+) -> np.ndarray:
+    """Host-side single-crop resize to (out_size, out_size, 3) uint8.
+
+    Used by the pipelined long-video path where crops are produced frame-
+    by-frame as the tracker finalizes slots (overlapping device scoring);
+    matches :func:`crop_resize_normalize`'s cv2.INTER_LINEAR convention
+    (half-pixel centers, clamp at the crop boundary) within uint8
+    quantization.
+    """
+    h, w = frame.shape[:2]
+    x1 = max(0, min(int(box[0]), w - 1))
+    y1 = max(0, min(int(box[1]), h - 1))
+    x2 = max(x1 + 1, min(int(box[2]), w))
+    y2 = max(y1 + 1, min(int(box[3]), h))
+    region = frame[y1:y2, x1:x2]
+    try:
+        import cv2
+
+        return cv2.resize(
+            region, (out_size, out_size), interpolation=cv2.INTER_LINEAR
+        )
+    except ImportError:
+        # numpy bilinear fallback, same half-pixel convention.
+        rh, rw = region.shape[:2]
+        u = (np.arange(out_size, dtype=np.float32) + 0.5)
+        sx = np.clip(u / out_size * rw - 0.5, 0, rw - 1)
+        sy = np.clip(u / out_size * rh - 0.5, 0, rh - 1)
+        x0 = np.floor(sx).astype(np.int64)
+        y0 = np.floor(sy).astype(np.int64)
+        x1i = np.minimum(x0 + 1, rw - 1)
+        y1i = np.minimum(y0 + 1, rh - 1)
+        wx = (sx - x0)[None, :, None]
+        wy = (sy - y0)[:, None, None]
+        f = region.astype(np.float32)
+        top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1i] * wx
+        bot = f[y1i][:, x0] * (1 - wx) + f[y1i][:, x1i] * wx
+        out = top * (1 - wy) + bot * wy
+        return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
 @dataclasses.dataclass
 class MouthTrack:
     """A tracked speaker's mouth-crop sequence (model-ready floats)."""
@@ -240,7 +282,7 @@ class ChunkedTrack:
     """
 
     track_id: int
-    crops: np.ndarray  # (N, crop, crop, 3) float32
+    crops: np.ndarray  # (N, crop, crop, 3) float32 [0,1] or uint8
     chunk_starts: List[int]  # local start index per window
     abs_chunk_starts: List[int]  # absolute video frame per window
     chunk_size: int
@@ -256,7 +298,9 @@ class ChunkedTrack:
         return len(self.chunk_starts)
 
     def chunk(self, j: int) -> np.ndarray:
-        """Materialize window j on host: (chunk_size, crop, crop, 3)."""
+        """Materialize window j on host: (chunk_size, crop, crop, 3) float32
+        in [0, 1] (uint8 crop buffers — the pipelined path stores those for
+        4x less memory/transfer — are normalized here)."""
         s = self.chunk_starts[j]
         window = self.crops[s : s + self.chunk_size]
         if window.shape[0] < self.chunk_size:
@@ -264,6 +308,8 @@ class ChunkedTrack:
                 window[-1:], self.chunk_size - window.shape[0], axis=0
             )
             window = np.concatenate([window, pad], axis=0)
+        if window.dtype == np.uint8:
+            window = window.astype(np.float32) / 255.0
         return window
 
 

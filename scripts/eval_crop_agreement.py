@@ -1,0 +1,189 @@
+"""Mouth-crop agreement eval: heuristic vs lip-refined vs landmark analog.
+
+Quantifies the crop-quality gap VERDICT r1 flagged (missing #3): without
+the mediapipe wheel the reference's landmark tier
+(`/root/reference/app/preprocessing/face_detection.py:101-124,428-438` —
+21 lip landmarks ±20 px) is dead code, and every crop comes from the
+face-box heuristic (:221-234). This script renders synthetic faces with
+KNOWN lip geometry across position/scale/skin-tone/openness/noise sweeps
+and reports the IoU of each tier's box against the landmark-analog box
+(ground-truth lips ±20 px, exactly what FaceMesh would emit):
+
+* ``heuristic``  — face box -> (0.18-0.82 w, 0.52-0.96 h)
+* ``refined``    — heuristic box passed through ``refine_mouth_box``
+                   (the no-mediapipe lip localizer wired into the default
+                   detector chain)
+
+Usage:
+    python scripts/eval_crop_agreement.py [--n 200] [--out report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lipsync_tpu.preprocessing.face_detection import (  # noqa: E402
+    bbox_iou,
+    face_bbox_to_mouth_bbox,
+    refine_mouth_box,
+)
+
+
+def render_face(
+    h: int,
+    w: int,
+    cx: int,
+    cy: int,
+    face_w: int,
+    skin,
+    lip_color,
+    openness: float,
+    noise: float,
+    rng: np.random.RandomState,
+):
+    """Synthetic face with known lip geometry.
+
+    Returns (frame, face_box, gt_mouth_box). The lip region is an ellipse
+    pair (upper/lower lip around a dark mouth line), proportions from
+    facial-anthropometry rules of thumb (mouth width ≈ 0.38 face width,
+    mouth center ≈ 0.30 face height below center).
+    """
+    face_h = int(face_w * 1.35)
+    frame = rng.randint(0, 40, size=(h, w, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    face = ((yy - cy) / (face_h / 2)) ** 2 + ((xx - cx) / (face_w / 2)) ** 2 < 1
+    frame[face] = skin
+    # Eyes.
+    for ex in (cx - face_w // 4, cx + face_w // 4):
+        eye = ((yy - (cy - face_h // 5)) ** 2 + (xx - ex) ** 2) < (
+            face_w * 0.06
+        ) ** 2
+        frame[eye] = (40, 30, 30)
+    # Nose shadow (a distractor edge above the mouth).
+    nose = (np.abs(xx - cx) < face_w * 0.05) & (
+        np.abs(yy - (cy + face_h * 0.05)) < face_h * 0.08
+    )
+    frame[nose] = np.asarray(skin, np.float32) * 0.85
+
+    # Lips: two ellipses around the mouth line.
+    mcy = cy + int(0.30 * face_h)
+    mhw = int(0.19 * face_w)  # half width
+    gap = max(1, int(face_h * 0.015 * (0.3 + openness)))
+    lip_h = max(2, int(face_h * 0.035))
+    upper = (
+        ((yy - (mcy - gap - lip_h // 2)) / max(1, lip_h / 2)) ** 2
+        + ((xx - cx) / mhw) ** 2
+    ) < 1
+    lower = (
+        ((yy - (mcy + gap + lip_h // 2)) / max(1, lip_h / 1.6)) ** 2
+        + ((xx - cx) / mhw) ** 2
+    ) < 1
+    mouth_line = (np.abs(yy - mcy) < gap) & (np.abs(xx - cx) < mhw * 0.92)
+    frame[upper | lower] = lip_color
+    frame[mouth_line] = (45, 15, 15)
+
+    if noise > 0:
+        frame = frame + rng.randn(h, w, 3) * noise
+    frame = np.clip(frame, 0, 255).astype(np.uint8)
+
+    lip_mask = upper | lower | mouth_line
+    ys, xs = np.where(lip_mask)
+    gt = (int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1)
+    face_box = (
+        max(0, cx - face_w // 2),
+        max(0, cy - face_h // 2),
+        min(w, cx + face_w // 2),
+        min(h, cy + face_h // 2),
+    )
+    return frame, face_box, gt
+
+
+def landmark_analog(gt, h, w, pad: int = 20):
+    """What the FaceMesh tier would emit: lip extremes ±20 px
+    (reference face_detection.py:428-438)."""
+    return (
+        max(0, gt[0] - pad), max(0, gt[1] - pad),
+        min(w, gt[2] + pad), min(h, gt[3] + pad),
+    )
+
+
+def run(n: int = 200, seed: int = 0) -> dict:
+    rng = np.random.RandomState(seed)
+    h, w = 240, 320
+    ious_heur, ious_ref = [], []
+    ious_heur_gt, ious_ref_gt = [], []
+    refined_changed = 0
+    for _ in range(n):
+        face_w = int(rng.uniform(60, 140))
+        cx = int(rng.uniform(face_w, w - face_w))
+        cy = int(rng.uniform(face_w, h - face_w * 0.8))
+        skin = tuple(
+            float(c)
+            for c in np.asarray((205, 170, 150)) * rng.uniform(0.55, 1.15)
+        )
+        lip = tuple(
+            float(c)
+            for c in np.asarray((150, 70, 70)) * rng.uniform(0.7, 1.2)
+        )
+        frame, face_box, gt = render_face(
+            h, w, cx, cy, face_w, skin, lip,
+            openness=rng.uniform(0, 1), noise=rng.uniform(0, 12), rng=rng,
+        )
+        target = landmark_analog(gt, h, w)
+        fx1, fy1, fx2, fy2 = face_box
+        heur = face_bbox_to_mouth_bbox(
+            fx1, fy1, fx2 - fx1, fy2 - fy1, w, h
+        )
+        refined = refine_mouth_box(frame, heur)
+        if refined != heur:
+            refined_changed += 1
+        ious_heur.append(bbox_iou(heur, target))
+        ious_ref.append(bbox_iou(refined, target))
+        ious_heur_gt.append(bbox_iou(heur, gt))
+        ious_ref_gt.append(bbox_iou(refined, gt))
+
+    def stats(v):
+        a = np.asarray(v)
+        return {
+            "mean": round(float(a.mean()), 4),
+            "median": round(float(np.median(a)), 4),
+            "p10": round(float(np.percentile(a, 10)), 4),
+        }
+
+    return {
+        "n_faces": n,
+        "iou_vs_landmark_analog": {
+            "heuristic": stats(ious_heur),
+            "lip_refined": stats(ious_ref),
+        },
+        "iou_vs_raw_lips": {
+            "heuristic": stats(ious_heur_gt),
+            "lip_refined": stats(ious_ref_gt),
+        },
+        "refined_changed_frac": round(refined_changed / n, 3),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=Path, default=None)
+    args = p.parse_args()
+    report = run(args.n, args.seed)
+    text = json.dumps(report, indent=2)
+    print(text)
+    if args.out:
+        args.out.write_text(text)
+
+
+if __name__ == "__main__":
+    main()
