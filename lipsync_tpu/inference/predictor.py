@@ -273,7 +273,19 @@ class Predictor:
     predict_from_upload_path = predict
 
     def close(self) -> None:
-        pass
+        """Release device state (reference predictor frees model/device
+        resources on shutdown). Drops the engine's parameter arrays and
+        compiled-callable caches so HBM is reclaimable; the Predictor is
+        unusable afterwards."""
+        engine = getattr(self, "engine", None)
+        if engine is not None:
+            for attr in ("_variables", "_fwd", "_fwd_u8", "_track_fwd"):
+                if hasattr(engine, attr):
+                    try:
+                        delattr(engine, attr)
+                    except AttributeError:
+                        pass
+            self.engine = None
 
     # ── Short-video path (predictor.py:1307-1733) ─────────────────────────
 

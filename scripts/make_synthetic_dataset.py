@@ -46,9 +46,15 @@ def render_clip(
     rng,
     h: int = 140,
     w: int = 180,
+    jitter: bool = False,
 ) -> tuple:
     """Frames whose mouth opening follows envelope_video; PCM voiced by
-    envelope_audio."""
+    envelope_audio.
+
+    ``jitter=True`` randomizes face position/scale/skin/lip color per clip
+    so the classifier must use audio-visual SYNC, not pixel idiosyncrasies
+    (round-2 hardening; see BENCHMARKS.md synthetic eval).
+    """
     n_frames = int(seconds * fps)
     n_samples = int(seconds * sr)
     t = np.arange(n_samples) / sr
@@ -61,25 +67,46 @@ def render_clip(
     pcm += rng.randn(n_samples).astype(np.float32) * 5e-4
 
     yy, xx = np.mgrid[0:h, 0:w]
-    cy, cx = h // 2, w // 2
-    face = ((yy - cy) / (h * 0.32)) ** 2 + ((xx - cx) / (w * 0.24)) ** 2 < 1
+    if jitter:
+        cy = h // 2 + int(rng.uniform(-0.10, 0.10) * h)
+        cx = w // 2 + int(rng.uniform(-0.12, 0.12) * w)
+        scale = rng.uniform(0.75, 1.2)
+        skin = tuple(
+            int(c) for c in np.asarray((200, 168, 150)) * rng.uniform(0.6, 1.1)
+        )
+        lip = tuple(
+            int(c) for c in np.asarray((80, 25, 25)) * rng.uniform(0.7, 1.3)
+        )
+        noise_hi = rng.randint(15, 45)
+    else:
+        cy, cx, scale, skin, lip, noise_hi = (
+            h // 2, w // 2, 1.0, (200, 168, 150), (80, 25, 25), 30
+        )
+    face = (
+        ((yy - cy) / (h * 0.32 * scale)) ** 2
+        + ((xx - cx) / (w * 0.24 * scale)) ** 2
+    ) < 1
     frames = np.empty((n_frames, h, w, 3), np.uint8)
-    base = rng.randint(0, 30, size=(h, w, 3)).astype(np.uint8)
+    base = rng.randint(0, noise_hi, size=(h, w, 3)).astype(np.uint8)
     env_at_frame = envelope_video[
         np.minimum((np.arange(n_frames) * sr / fps).astype(int), n_samples - 1)
     ]
+    eye_dx = int(w * scale) // 9
     for i in range(n_frames):
         img = base.copy()
-        img[face] = (200, 168, 150)
-        for ex in (cx - w // 9, cx + w // 9):
-            eye = ((yy - (cy - h // 7)) ** 2 + (xx - ex) ** 2) < (h * 0.035) ** 2
+        img[face] = skin
+        for ex in (cx - eye_dx, cx + eye_dx):
+            eye = (
+                (yy - (cy - int(h * scale) // 7)) ** 2 + (xx - ex) ** 2
+            ) < (h * 0.035 * scale) ** 2
             img[eye] = (40, 30, 30)
         openness = env_at_frame[i]
-        mh = max(1, int(h * 0.012 + h * 0.06 * openness))
+        mh = max(1, int(h * scale * (0.012 + 0.06 * openness)))
         mouth = (
-            (np.abs(yy - (cy + h // 5)) < mh) & (np.abs(xx - cx) < w * 0.10)
+            (np.abs(yy - (cy + int(h * scale) // 5)) < mh)
+            & (np.abs(xx - cx) < w * 0.10 * scale)
         )
-        img[mouth] = (80, 25, 25)
+        img[mouth] = lip
         frames[i] = img
     return frames, pcm
 
@@ -92,6 +119,12 @@ def main(argv=None) -> int:
     p.add_argument("--fps", type=float, default=15.0)
     p.add_argument("--sr", type=int, default=16000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--jitter", action="store_true",
+                   help="Randomize face position/scale/colors per clip")
+    p.add_argument("--hard-negatives", action="store_true",
+                   help="Half the fakes use the SAME envelope time-shifted "
+                        "0.25-0.8 s (misaligned lip-sync, the canonical "
+                        "manipulation) instead of an independent envelope")
     args = p.parse_args(argv)
 
     real_dir = args.output_dir / "0_real"
@@ -103,15 +136,22 @@ def main(argv=None) -> int:
     for i in range(args.n_per_class):
         env = speech_envelope(args.seconds, args.sr, rng)
         frames, pcm = render_clip(
-            env, env, args.seconds, args.fps, args.sr, rng
+            env, env, args.seconds, args.fps, args.sr, rng,
+            jitter=args.jitter,
         )
         write_video(real_dir / f"real_{i:04d}.avi", frames, args.fps, pcm,
                     args.sr)
 
         env_a = speech_envelope(args.seconds, args.sr, rng)
-        env_v = speech_envelope(args.seconds, args.sr, rng)
+        if args.hard_negatives and i % 2 == 0:
+            # Time-shifted same envelope: correlated but out of sync.
+            shift = int(rng.uniform(0.25, 0.8) * args.sr)
+            env_v = np.roll(env_a, shift)
+        else:
+            env_v = speech_envelope(args.seconds, args.sr, rng)
         frames, pcm = render_clip(
-            env_v, env_a, args.seconds, args.fps, args.sr, rng
+            env_v, env_a, args.seconds, args.fps, args.sr, rng,
+            jitter=args.jitter,
         )
         write_video(fake_dir / f"fake_{i:04d}.avi", frames, args.fps, pcm,
                     args.sr)

@@ -210,6 +210,26 @@ def test_predict_from_path_contract(short_video):
     assert result["confidence"] == pytest.approx(0.8, abs=1e-6)
 
 
+def test_predictor_close_releases_engine(rng):
+    """close() drops the engine's device arrays and compiled callables so
+    HBM is reclaimable (the reference frees model/device state on
+    shutdown, lifecycle.py:99-110)."""
+    model = LipSyncModel(TINY)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 8, 32, 32, 3), np.float32),
+        np.zeros((1, 80, 32, 1), np.float32),
+    )
+    engine = ScoringEngine(variables, TINY, use_bfloat16=False)
+    p = Predictor(config=PredictorConfig(), model_config=TINY, engine=engine,
+                  detector_backend=FakeDetector(lambda i: []))
+    p.close()
+    assert p.engine is None
+    assert not hasattr(engine, "_variables")
+    assert not hasattr(engine, "_fwd")
+    p.close()  # idempotent
+
+
 def test_predict_missing_file():
     engine = StubEngine()
     p = _make_predictor(engine)
