@@ -125,11 +125,21 @@ class CascadeDetector:
         self._since_full = 0
 
     def _scan(self, gray: np.ndarray, min_side: int,
-              offset=(0, 0)) -> List[Tuple[int, int, int, int]]:
+              offset=(0, 0),
+              skip_profile_if_frontal: bool = False,
+              ) -> List[Tuple[int, int, int, int]]:
+        """Frontal + profile sweep (reference face_detection.py:247-275 runs
+        both and NMS-merges). ``skip_profile_if_frontal`` is the ROI-mode
+        fast path: a tracked face that the frontal cascade still fires on
+        doesn't need the profile sweep of the same ROI — halves the per-
+        frame cost in the common case; full-frame sweeps keep both so
+        entering profiled faces are still found."""
         rects: List[Tuple[int, int, int, int]] = []
         for cascade in (self._frontal, self._profile):
             if cascade is None:
                 continue
+            if cascade is self._profile and skip_profile_if_frontal and rects:
+                break
             found = cascade.detect(
                 gray, scale_factor=1.08, min_neighbors=self.min_neighbors,
                 min_size=min_side,
@@ -167,7 +177,8 @@ class CascadeDetector:
                 # scale pyramid levels (they dominate the scan cost).
                 roi_min = max(min_side, min(fw, fh) // 2)
                 roi = np.ascontiguousarray(gray[ey:ey2, ex:ex2])
-                rects.extend(self._scan(roi, roi_min, offset=(ex, ey)))
+                rects.extend(self._scan(roi, roi_min, offset=(ex, ey),
+                                        skip_profile_if_frontal=True))
             self._since_full += 1
         if not rects:
             rects = self._scan(gray, min_side)
@@ -260,17 +271,25 @@ def _normalized(x: np.ndarray) -> np.ndarray:
     return (x - lo) / (hi - lo)
 
 
+def _box1d(x: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Vectorized k-tap zero-padded box mean along ``axis`` — identical to
+    ``np.convolve(row, ones(k)/k, mode="same")`` per lane, without the
+    per-lane Python loop of apply_along_axis (the refiner runs per frame on
+    the host hot path)."""
+    n = x.shape[axis]
+    p = (k - 1) // 2
+    zero = np.zeros_like(np.take(x, [0], axis=axis))
+    cum = np.concatenate([zero, np.cumsum(x, axis=axis)], axis=axis)
+    hi = np.clip(np.arange(n) - p + k, 0, n)
+    lo = np.clip(np.arange(n) - p, 0, n)
+    return (np.take(cum, hi, axis=axis) - np.take(cum, lo, axis=axis)) / k
+
+
 def _box_smooth(x: np.ndarray, k: int = 3) -> np.ndarray:
     """k-tap box filter along both axes (no scipy dependency)."""
     if k <= 1:
         return x
-    kernel = np.ones(k, np.float32) / k
-    x = np.apply_along_axis(
-        lambda r: np.convolve(r, kernel, mode="same"), 1, x
-    )
-    return np.apply_along_axis(
-        lambda c: np.convolve(c, kernel, mode="same"), 0, x
-    )
+    return _box1d(_box1d(x, k, 1), k, 0)
 
 
 def _profile_extent(profile: np.ndarray, rel_threshold: float = 0.45

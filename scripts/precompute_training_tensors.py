@@ -25,6 +25,20 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Offline precompute issues many TINY device calls (per-clip crop + mel);
+# through a remote-TPU tunnel each costs a dispatch round trip that dwarfs
+# the compute. Default to the host CPU backend — must be decided before the
+# JAX backend initializes (and via config, not env: a site override can
+# rewrite JAX_PLATFORMS — see CLAUDE.md).
+if "--platform" in sys.argv:
+    _plat = sys.argv[sys.argv.index("--platform") + 1]
+else:
+    _plat = "cpu"
+if _plat != "auto":
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 from lipsync_tpu.preprocessing import ingest  # noqa: E402
 from lipsync_tpu.preprocessing.audio import preprocess_audio  # noqa: E402
 from lipsync_tpu.preprocessing.video import (  # noqa: E402
@@ -184,6 +198,10 @@ def main() -> None:
                    help="Tensor store (reference default: zarr; zarr here "
                         "needs no wheel — in-repo v2 codec)")
     p.add_argument("--lmdb-map-size-gb", type=int, default=16)
+    p.add_argument("--platform", choices=["cpu", "auto"], default="cpu",
+                   help="JAX backend for the tiny per-clip device ops "
+                        "(parsed before backend init; default cpu — "
+                        "dispatch RTT dominates on a remote accelerator)")
     args = p.parse_args()
 
     out = args.output_dir
