@@ -1,0 +1,162 @@
+"""Per-submodule timing of the flagship forward (SURVEY §7.8 follow-up).
+
+The round-1 question left open (VERDICT weak #7): is any op group slow
+enough to justify a hand-written Pallas kernel? This times each stage of
+the model standalone at the production batch/precision and compares the
+sum against the fused full-model forward, and reports each stage's MFU
+from XLA's compiled cost analysis. Decision rule from the VERDICT: write
+a kernel only for a stage measurably below ~40% MFU that also dominates
+wall time; otherwise record the numbers and stop.
+
+Usage:  python scripts/profile_forward.py [--batch 512]
+Writes one JSON report to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from lipsync_tpu.models import ModelConfig  # noqa: E402
+from lipsync_tpu.models.audio_encoder import AudioEncoder  # noqa: E402
+from lipsync_tpu.models.artifact import ArtifactDetector  # noqa: E402
+from lipsync_tpu.models.classifier import ClassificationHead  # noqa: E402
+from lipsync_tpu.models.fusion import (  # noqa: E402
+    CrossModalAttention,
+    FeatureProjection,
+)
+from lipsync_tpu.models.lip_sync_model import LipSyncModel  # noqa: E402
+from lipsync_tpu.models.temporal import TemporalTransformer  # noqa: E402
+from lipsync_tpu.models.visual_encoder import VisualEncoder  # noqa: E402
+
+PEAK = {"tpu": 197e12, "cpu": 1e11}
+
+
+def _time(fn, *args, iters=10):
+    jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _flops(jitted, *args):
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_module(module, *inputs, rngs=None, iters=10, **apply_kw):
+    variables = module.init(jax.random.PRNGKey(0), *inputs, **apply_kw)
+    fn = jax.jit(lambda *a: module.apply(variables, *a, **apply_kw))
+    t = _time(fn, *inputs, iters=iters)
+    f = _flops(fn, *inputs)
+    return t, f
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    cfg = ModelConfig()
+    platform = jax.devices()[0].platform
+    on_tpu = platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    peak = PEAK.get(platform, 0.0)
+    b = args.batch if on_tpu else 2
+    rng = np.random.RandomState(0)
+
+    visual = jnp.asarray(
+        rng.rand(b, cfg.video_frames, cfg.crop_size, cfg.crop_size, 3),
+        jnp.float32,
+    )
+    audio = jnp.asarray(
+        rng.rand(b, cfg.mel_bins, cfg.audio_frames, 1) * 80 - 80, jnp.float32
+    )
+    t_tokens = cfg.video_frames
+    tokens = jnp.asarray(rng.rand(b, t_tokens, cfg.embed_dim), dtype)
+    v_feat = jnp.asarray(rng.rand(b, cfg.visual_feature_dim, t_tokens), dtype)
+    a_feat = jnp.asarray(rng.rand(b, cfg.audio_feature_dim, t_tokens), dtype)
+    v_map = jnp.asarray(
+        rng.rand(b, t_tokens, 3, 3, cfg.visual_feature_dim), dtype
+    )
+    cls_vec = jnp.asarray(rng.rand(b, cfg.embed_dim), dtype)
+    combined = jnp.asarray(rng.rand(b, cfg.embed_dim + 128), dtype)
+
+    stages = {}
+
+    def add(name, module, *inputs, **kw):
+        t, f = bench_module(module, *inputs, iters=args.iters, **kw)
+        stages[name] = {
+            "ms": round(t * 1e3, 2),
+            "gflops": round(f / 1e9, 1),
+            "mfu": round(f / t / peak, 4) if peak and f else None,
+        }
+
+    add("visual_encoder",
+        VisualEncoder(feature_dim=cfg.visual_feature_dim, dtype=dtype),
+        visual, return_map=True)
+    add("audio_encoder",
+        AudioEncoder(feature_dim=cfg.audio_feature_dim,
+                     preserve_audio_temporal=True, dtype=dtype),
+        audio)
+    add("projection",
+        FeatureProjection(embed_dim=cfg.embed_dim, dtype=dtype),
+        v_feat, a_feat)
+    add("cross_modal",
+        CrossModalAttention(embed_dim=cfg.embed_dim,
+                            num_heads=cfg.cross_modal_heads, dtype=dtype),
+        tokens, tokens)
+    add("temporal",
+        TemporalTransformer(embed_dim=cfg.embed_dim,
+                            num_heads=cfg.temporal_heads,
+                            num_layers=cfg.temporal_layers, dtype=dtype),
+        tokens)
+    add("artifact",
+        ArtifactDetector(visual_feature_dim=cfg.visual_feature_dim,
+                         embed_dim=cfg.embed_dim, dtype=dtype),
+        v_map, cls_vec, visual.astype(dtype))
+    add("classifier",
+        ClassificationHead(hidden_dim=128, dtype=dtype), combined)
+
+    model = LipSyncModel(cfg, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0), visual[:1], audio[:1])
+    full = jax.jit(lambda v, a: model.apply(variables, v, a))
+    t_full = _time(full, visual, audio, iters=args.iters)
+    f_full = _flops(full, visual, audio)
+
+    total_stage_ms = sum(s["ms"] for s in stages.values())
+    report = {
+        "batch": b,
+        "platform": platform,
+        "dtype": str(dtype.__name__),
+        "stages": stages,
+        "full_forward_ms": round(t_full * 1e3, 2),
+        "full_gflops": round(f_full / 1e9, 1),
+        "full_mfu": round(f_full / t_full / peak, 4) if peak and f_full else None,
+        "sum_of_stages_ms": round(total_stage_ms, 2),
+        "fusion_gain_ms": round(total_stage_ms - t_full * 1e3, 2),
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -212,6 +212,19 @@ def run_preprocessed_mode(args, engine=None) -> Dict:
 
     if engine is None:
         engine = load_engine(args.model_path)
+        if getattr(args, "calibration_method", "none") != "none":
+            # Evaluate through the production calibrator (the reference's
+            # Settings thread calibration into the Predictor; preprocessed
+            # eval honors the same knobs, fit via fit_calibrator.py).
+            from lipsync_tpu.inference.calibration import Calibrator
+
+            engine.calibrator = Calibrator.from_config(
+                method=args.calibration_method,
+                temperature=args.calibration_temperature,
+                platt_a=args.calibration_platt_a,
+                platt_b=args.calibration_platt_b,
+                isotonic_path=args.calibration_isotonic_path,
+            )
     ds = LipSyncDataset(
         preprocessed_dir=args.preprocessed_dir,
         video_frames=engine.config.video_frames,
@@ -270,6 +283,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--save-every", type=int, default=25)
+    # Calibration knobs (same names/defaults as the serving Settings).
+    p.add_argument("--calibration-method", default="none",
+                   choices=["none", "temperature", "platt", "isotonic"])
+    p.add_argument("--calibration-temperature", type=float, default=1.0)
+    p.add_argument("--calibration-platt-a", type=float, default=1.0)
+    p.add_argument("--calibration-platt-b", type=float, default=0.0)
+    p.add_argument("--calibration-isotonic-path", type=str, default=None)
     return p
 
 

@@ -301,6 +301,31 @@ def test_score_track_matches_materialized_windows(tiny_engine, rng):
     np.testing.assert_allclose(gathered, materialized, atol=2e-5)
 
 
+def test_score_logits_uint8_matches_float(tiny_engine, rng):
+    """uint8-transfer path (default) == float path within quantization.
+
+    score_logits quantizes [0,1] floats to uint8 before host->device
+    transfer (4x less traffic) and normalizes on device; passing uint8
+    pixels directly takes the same program.
+    """
+    v = rng.rand(3, 8, 32, 32, 3).astype(np.float32)
+    a = (rng.rand(3, 80, 32).astype(np.float32) * 60) - 60
+    default = tiny_engine.score_logits(v, a)  # transfer_uint8=True
+    v_u8 = np.clip(v * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    explicit_u8 = tiny_engine.score_logits(v_u8, a)
+    np.testing.assert_allclose(default, explicit_u8, atol=2e-5)
+    # Float path on the pre-quantized pixels agrees too.
+    was = tiny_engine.transfer_uint8
+    try:
+        tiny_engine.transfer_uint8 = False
+        float_path = tiny_engine.score_logits(
+            v_u8.astype(np.float32) / 255.0, a
+        )
+    finally:
+        tiny_engine.transfer_uint8 = was
+    np.testing.assert_allclose(default, float_path, atol=1e-4)
+
+
 def test_score_track_pads_short_track(tiny_engine, rng):
     """A track shorter than the window tail-pads with its last frame."""
     crops = rng.rand(5, 32, 32, 3).astype(np.float32)  # < chunk_size 8

@@ -30,7 +30,11 @@ def _batch(rng, b):
     }
 
 
-def test_train_step_runs_and_descends(rng):
+def test_train_step_runs_and_descends():
+    # Own RNG: the session `rng` fixture's state depends on which other
+    # tests ran first, and the descend-in-3-steps property must be checked
+    # on a FIXED batch, not a suite-order-dependent one.
+    rng = np.random.RandomState(0)
     model = LipSyncModel(CFG)
     opt = optax.adam(1e-3)
     batch = _batch(rng, 4)
