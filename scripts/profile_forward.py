@@ -63,10 +63,18 @@ def _flops(jitted, *args):
 
 
 def bench_module(module, *inputs, rngs=None, iters=10, **apply_kw):
-    variables = module.init(jax.random.PRNGKey(0), *inputs, **apply_kw)
-    fn = jax.jit(lambda *a: module.apply(variables, *a, **apply_kw))
-    t = _time(fn, *inputs, iters=iters)
-    f = _flops(fn, *inputs)
+    # Init at batch-1 on the host CPU (param shapes are batch-independent);
+    # pass variables as a jit ARGUMENT, not a closure — closed-over arrays
+    # are embedded as compile-time constants, which exhausts device memory
+    # for the larger modules at batch 512.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        small = [x[:1] for x in inputs]
+        variables = module.init(jax.random.PRNGKey(0), *small, **apply_kw)
+    variables = jax.device_put(variables, jax.devices()[0])
+    fn = jax.jit(lambda vs, *a: module.apply(vs, *a, **apply_kw))
+    t = _time(fn, variables, *inputs, iters=iters)
+    f = _flops(fn, variables, *inputs)
     return t, f
 
 
@@ -138,10 +146,14 @@ def main() -> None:
         ClassificationHead(hidden_dim=128, dtype=dtype), combined)
 
     model = LipSyncModel(cfg, dtype=dtype)
-    variables = model.init(jax.random.PRNGKey(0), visual[:1], audio[:1])
-    full = jax.jit(lambda v, a: model.apply(variables, v, a))
-    t_full = _time(full, visual, audio, iters=args.iters)
-    f_full = _flops(full, visual, audio)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0),
+                               np.asarray(visual[:1]), np.asarray(audio[:1]))
+    variables = jax.device_put(variables, jax.devices()[0])
+    full = jax.jit(lambda vs, v, a: model.apply(vs, v, a))
+    t_full = _time(full, variables, visual, audio, iters=args.iters)
+    f_full = _flops(full, variables, visual, audio)
 
     total_stage_ms = sum(s["ms"] for s in stages.values())
     report = {
