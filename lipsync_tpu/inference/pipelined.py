@@ -67,12 +67,20 @@ def score_long_video_pipelined(
     max_age: int = 15,
     min_stability: float = 0.35,
     dispatch_batch: int = 16,
+    detection_stride: int = 1,
 ) -> Tuple[List[ChunkedTrack], Dict[int, List[float]]]:
     """Detect+track+score ``frames`` with detection/scoring overlap.
 
     Returns ``(chunked_tracks, probs_by_index)`` where ``probs_by_index[i]``
     are the calibrated window probabilities of ``chunked_tracks[i]``, in
     window-start order — the exact inputs `_predict_long_video` aggregates.
+
+    ``detection_stride`` > 1 runs the host detector only on every N-th
+    frame; the tracker coasts (velocity extrapolation + lerp backfill on
+    re-acquisition) through the frames in between. Stride 1 is bit-identical
+    to reference per-frame tracking; stride 2-3 cuts host detection cost
+    proportionally at a measured small crop-IoU cost
+    (``scripts/eval_crop_agreement.py --stride``).
     """
     if backend is None:
         backend = get_default_backend()
@@ -93,13 +101,17 @@ def score_long_video_pipelined(
             max_age=max_age,
             min_stability=min_stability,
             crop_size=crop_size,
+            detection_stride=detection_stride,
         )
         books: Dict[int, _TrackBook] = {}
         any_detection = False
-        for frame in frames:
-            dets = backend.detect(frame)
-            any_detection = any_detection or bool(dets)
-            tracker.update(dets)
+        for idx, frame in enumerate(frames):
+            if idx % detection_stride == 0:
+                dets = backend.detect(frame)
+                any_detection = any_detection or bool(dets)
+                tracker.update(dets)
+            else:
+                tracker.coast()
             _advance(tracker, books, frames, done=False,
                      chunk_size=chunk_size, stride=stride,
                      crop_size=crop_size, audio_full=audio_full,

@@ -83,6 +83,12 @@ class PredictorConfig:
     # without async dispatch, e.g. test stubs).
     pipelined_long_video: bool = True
     target_fps: float = 15.0
+    # Host detector stride: detect every N-th frame, tracker coasts with
+    # velocity extrapolation + lerp backfill in between (tracker.coast).
+    # 1 = reference-parity per-frame detection; 2-3 cut single-core host
+    # detection cost proportionally (crop-IoU cost measured in
+    # scripts/eval_crop_agreement.py --stride).
+    detection_stride: int = 1
 
     def __post_init__(self):
         if self.confidence_smoothing not in {"none", "median", "trimmed_mean"}:
@@ -602,6 +608,7 @@ class Predictor:
                 max_tracks=cfg.max_tracks,
                 crop_size=self.model_config.crop_size,
                 audio_frames=self.model_config.audio_frames,
+                detection_stride=cfg.detection_stride,
             )
         else:
             chunked_tracks, fps, total_v_frames = (

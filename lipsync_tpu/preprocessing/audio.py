@@ -25,9 +25,19 @@ logger = get_logger(__name__)
 
 
 def _use_pallas_mel() -> bool:
+    """Opt-in only. Measured on v5e-1 (BENCHMARKS.md round 2): the XLA
+    rFFT+matmul mel is ~44 ms warm per 3 s clip while the Pallas kernel is
+    120+ ms warm and ~350 s to compile — XLA's fusion already wins at this
+    op's arithmetic intensity, so the hand kernel stays available for study
+    but off the hot path (SURVEY §7.8 measure-first rule)."""
+    import os
+
     import jax
 
-    return jax.devices()[0].platform == "tpu"
+    return (
+        os.environ.get("LIPSYNC_TPU_PALLAS_MEL", "0") == "1"
+        and jax.devices()[0].platform == "tpu"
+    )
 
 
 def preprocess_audio_pcm(
@@ -53,6 +63,17 @@ def preprocess_audio_pcm(
         mel_fn = log_mel_spectrogram_pallas
     else:
         mel_fn = log_mel_spectrogram
+    # Bucket the PCM length to the next power of two so arbitrary clip
+    # durations reuse a handful of compiled programs (each fresh jit shape
+    # costs minutes through the remote compile service). Zero padding is
+    # numerically inert: padded frames are sliced off below, the last true
+    # frames see zeros exactly as center-padding would supply, and the
+    # dB max-reference only ever grows from REAL frames.
+    n_true = len(y)
+    n_frames_true = 1 + n_true // hop_length  # center=True frame count
+    bucket = max(1 << 14, 1 << (n_true - 1).bit_length())
+    if bucket != n_true:
+        y = np.pad(np.asarray(y, np.float32), (0, bucket - n_true))
     mel = np.asarray(
         mel_fn(
             jnp.asarray(y),
@@ -62,7 +83,7 @@ def preprocess_audio_pcm(
             win_length=win_length,
             n_mels=n_mels,
         )
-    ).astype(np.float32)
+    ).astype(np.float32)[:, :n_frames_true]
     if target_frames is not None:
         mel = pad_or_truncate_frames(mel, target_frames)
     return mel

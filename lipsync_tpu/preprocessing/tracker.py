@@ -45,6 +45,10 @@ class TrackState:
     consecutive_miss: int = 0
     max_consecutive_miss: int = 0
     miss_frame_indices: List[int] = dataclasses.field(default_factory=list)
+    # Slots appended by coast() (detection deliberately skipped) since the
+    # last real observation; lerp-backfilled on the next match like misses,
+    # but stats-neutral: no age/stability penalty.
+    coast_pending: int = 0
 
 
 @dataclasses.dataclass
@@ -101,6 +105,7 @@ class StreamingTracker:
         max_age: int = 15,
         min_stability: float = 0.35,
         crop_size: int = 96,
+        detection_stride: int = 1,
     ):
         self.frame_height = frame_height
         self.frame_width = frame_width
@@ -109,6 +114,9 @@ class StreamingTracker:
         self.iou_threshold_relaxed = iou_threshold_relaxed
         self.max_age = max_age
         self.min_stability = min_stability
+        # Declared upper bound on frames between detection attempts; only
+        # used to size the immutable-prefix window in finalized_length().
+        self.detection_stride = max(1, detection_stride)
         self.center_box = center_crop_box(frame_height, frame_width, crop_size)
         self.tracks: List[TrackState] = []
         self.completed: List[TrackState] = []
@@ -124,9 +132,10 @@ class StreamingTracker:
         for tr in self.tracks:
             if tr.age > self.max_age:
                 continue
+            gap = tr.age + tr.coast_pending  # slots since last observation
             predicted = (
-                _predict_bbox(tr.last_bbox, tr.velocity, steps=tr.age + 1)
-                if tr.age > 0
+                _predict_bbox(tr.last_bbox, tr.velocity, steps=gap + 1)
+                if gap > 0
                 else tr.last_bbox
             )
             best_iou, best_idx = 0.0, -1
@@ -144,9 +153,8 @@ class StreamingTracker:
                 matched.add(best_idx)
                 new_bbox = boxes[best_idx]
 
-                # Backfill missed slots with lerped boxes.
-                if tr.age > 0 and tr.boxes:
-                    gap = tr.age
+                # Backfill missed/coasted slots with lerped boxes.
+                if gap > 0 and tr.boxes:
                     for g in range(gap):
                         fill_idx = len(tr.boxes) - gap + g
                         if 0 <= fill_idx < len(tr.boxes):
@@ -155,8 +163,15 @@ class StreamingTracker:
                             )
 
                 alpha = 0.4
+                # Per-frame delta. With coasting the last observation is
+                # gap+1 slots back, so the raw delta is normalized; the
+                # stride=1 path (coast_pending always 0) is unchanged
+                # (reference face_detection.py:886-899 smooths raw deltas
+                # between consecutive detection frames).
+                denom = float(gap + 1) if tr.coast_pending > 0 else 1.0
                 raw_v = tuple(
-                    float(new_bbox[k] - tr.last_bbox[k]) for k in range(4)
+                    float(new_bbox[k] - tr.last_bbox[k]) / denom
+                    for k in range(4)
                 )
                 tr.velocity = tuple(
                     alpha * raw_v[k] + (1 - alpha) * tr.velocity[k]
@@ -168,9 +183,11 @@ class StreamingTracker:
                 tr.hits += 1
                 tr.age = 0
                 tr.consecutive_miss = 0
+                tr.coast_pending = 0
             else:
+                steps = gap + 1 if tr.coast_pending > 0 else 1
                 placeholder = (
-                    _predict_bbox(tr.last_bbox, tr.velocity)
+                    _predict_bbox(tr.last_bbox, tr.velocity, steps=steps)
                     if tr.boxes
                     else self.center_box
                 )
@@ -205,6 +222,31 @@ class StreamingTracker:
             self.next_id += 1
         self.frames_consumed = t_idx + 1
 
+    def coast(self) -> None:
+        """Consume one frame WITHOUT running detection (detection-stride
+        mode): every live track gets a velocity-extrapolated box for this
+        slot, lerp-backfilled on the next real match exactly like a missed
+        slot — but with no age/stability penalty, since skipping detection
+        was the caller's choice, not evidence the face vanished.
+
+        ``hits`` counts the slot so stability stays the detection-frame hit
+        rate (span-relative semantics of reference
+        face_detection.py:1000-1020 are preserved across strides).
+        """
+        t_idx = self.frames_consumed
+        for tr in self.tracks:
+            if tr.age > self.max_age:
+                continue
+            gap = tr.age + tr.coast_pending
+            predicted = _predict_bbox(tr.last_bbox, tr.velocity,
+                                      steps=gap + 1)
+            tr.boxes.append(_clamp_box(predicted, self.frame_height,
+                                       self.frame_width, self.center_box))
+            tr.end_frame_idx = t_idx
+            tr.hits += 1
+            tr.coast_pending += 1
+        self.frames_consumed = t_idx + 1
+
     # -- incremental readback ------------------------------------------------
     def all_states(self) -> List[TrackState]:
         return self.completed + self.tracks
@@ -216,7 +258,12 @@ class StreamingTracker:
         """
         if done or any(tr is c for c in self.completed):  # retired = frozen
             return len(tr.boxes)
-        safe = self.frames_consumed - self.max_age - tr.start_frame_idx
+        # Lerp backfill can rewrite every slot since the last observation.
+        # Worst case before retirement: max_age real misses (one per
+        # detection attempt) plus (stride-1) coasted slots around each ->
+        # (max_age + 1) * stride - 1 rewritable slots behind the head.
+        window = (self.max_age + 1) * self.detection_stride - 1
+        safe = self.frames_consumed - window - tr.start_frame_idx
         return max(0, min(len(tr.boxes), safe))
 
     def stability(self, tr: TrackState) -> float:

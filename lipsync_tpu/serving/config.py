@@ -46,6 +46,9 @@ class Settings(BaseModel):
     weak_real_window_threshold: float = 0.30
     fake_vote_gate: float = 0.10
     fake_vote_min_windows: int = 5
+    # TPU-rebuild knob (no reference analog): host detector stride for the
+    # pipelined long-video path; see PredictorConfig.detection_stride.
+    detection_stride: int = 1
     sqlite_db_path: str = "./jobs.db"
     run_embedded_worker: bool = True
     worker_poll_interval_sec: float = 1.0
@@ -81,6 +84,7 @@ class Settings(BaseModel):
             weak_real_window_threshold=self.weak_real_window_threshold,
             fake_vote_gate=self.fake_vote_gate,
             fake_vote_min_windows=self.fake_vote_min_windows,
+            detection_stride=self.detection_stride,
         )
 
 

@@ -172,13 +172,84 @@ def run(n: int = 200, seed: int = 0) -> dict:
     }
 
 
+def run_stride_sim(
+    n_tracks: int = 100, n_frames: int = 60, seed: int = 0
+) -> dict:
+    """Detection-stride quality: simulated head-motion trajectories are
+    tracked once per stride in {1, 2, 3, 5}; the coasted tracker's per-slot
+    boxes are scored as IoU against the true trajectory. Quantifies the
+    crop cost of `PredictorConfig.detection_stride` (the host-detection
+    speedup is 1/stride by construction)."""
+    from lipsync_tpu.preprocessing.face_detection import Detection
+    from lipsync_tpu.preprocessing.tracker import StreamingTracker
+
+    rng = np.random.RandomState(seed)
+    h, w = 240, 320
+    strides = (1, 2, 3, 5)
+    ious = {s: [] for s in strides}
+    for _ in range(n_tracks):
+        # Smooth random walk: sinusoidal drift + jerk noise, face-scale
+        # wobble — a caricature of conversational head motion at 15 fps.
+        bw = rng.uniform(50, 90)
+        cx = rng.uniform(bw, w - bw)
+        cy = rng.uniform(bw, h - bw * 0.7)
+        fx = rng.uniform(0.02, 0.12)  # motion frequency (cycles/frame)
+        fy = rng.uniform(0.02, 0.12)
+        ax = rng.uniform(2, 25)  # amplitude px
+        ay = rng.uniform(2, 15)
+        ph = rng.uniform(0, 6.28, size=2)
+        jitter = rng.randn(n_frames, 2) * rng.uniform(0.2, 1.5)
+        boxes = []
+        for t in range(n_frames):
+            x = cx + ax * np.sin(2 * np.pi * fx * t + ph[0]) + jitter[t, 0]
+            y = cy + ay * np.sin(2 * np.pi * fy * t + ph[1]) + jitter[t, 1]
+            s = bw * (1 + 0.08 * np.sin(2 * np.pi * 0.03 * t))
+            boxes.append((
+                int(x - s / 2), int(y - s / 2),
+                int(x + s / 2), int(y + s / 2),
+            ))
+        for s in strides:
+            st = StreamingTracker(h, w, detection_stride=s)
+            for t, b in enumerate(boxes):
+                if t % s == 0:
+                    st.update([Detection(bbox=b)])
+                else:
+                    st.coast()
+            tr = st.finalize()[0]
+            for t, b in enumerate(tr.boxes):
+                ious[s].append(bbox_iou(b, boxes[t]))
+
+    def stats(v):
+        a = np.asarray(v)
+        return {
+            "mean": round(float(a.mean()), 4),
+            "median": round(float(np.median(a)), 4),
+            "p10": round(float(np.percentile(a, 10)), 4),
+        }
+
+    return {
+        "n_tracks": n_tracks,
+        "n_frames": n_frames,
+        "tracked_box_iou_vs_truth_by_stride": {
+            str(s): stats(v) for s, v in ious.items()
+        },
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=Path, default=None)
+    p.add_argument(
+        "--stride", action="store_true",
+        help="run the detection-stride trajectory simulation instead",
+    )
     args = p.parse_args()
-    report = run(args.n, args.seed)
+    report = (
+        run_stride_sim(seed=args.seed) if args.stride
+        else run(args.n, args.seed)
+    )
     text = json.dumps(report, indent=2)
     print(text)
     if args.out:

@@ -135,3 +135,105 @@ def test_fake_detector_script():
     assert det.detect(frame) == []
     assert det.detect(frame)[0].bbox == (5, 6, 7, 8)
     assert det.detect(frame) == []  # past the script
+
+
+# ── Detection-stride coasting (tracker.coast) ─────────────────────────────
+
+
+def run_strided(frames_dets, stride, **kw):
+    """Drive a StreamingTracker with detection every `stride` frames."""
+    from lipsync_tpu.preprocessing.tracker import StreamingTracker
+
+    st = StreamingTracker(H, W, detection_stride=stride, **kw)
+    for i, d in enumerate(frames_dets):
+        if i % stride == 0:
+            st.update(d)
+        else:
+            st.coast()
+    return st
+
+
+def test_coast_backfills_to_lerp_of_observations():
+    """Linear motion at stride 3: every coasted slot is backfilled to the
+    exact lerp between the two surrounding detections, so the track is
+    identical to per-frame detection of the same linear trajectory."""
+    frames = [dets((100 + 5 * i, 100, 150 + 5 * i, 140)) for i in range(13)]
+    st = run_strided(frames, stride=3)
+    tracks = st.finalize()
+    assert len(tracks) == 1
+    tr = tracks[0]
+    assert len(tr.boxes) == 13
+    for i, b in enumerate(tr.boxes):
+        assert b == (100 + 5 * i, 100, 150 + 5 * i, 140), (i, b)
+
+
+def test_coast_is_stability_neutral():
+    """Coasted slots don't count as misses: a steady face detected at
+    stride 3 still reads stability 1.0 and zero consecutive misses."""
+    frames = [dets((100, 100, 150, 140))] * 12
+    st = run_strided(frames, stride=3)
+    tr = st.finalize()[0]
+    assert tr.stability == 1.0
+    assert tr.consecutive_miss_max == 0
+    assert tr.hits == 12
+
+
+def test_coast_tail_extrapolates_with_per_frame_velocity():
+    """Trailing coasted slots (no further detection) extend with the
+    per-frame velocity estimate, not the raw inter-detection delta."""
+    frames = [dets((100 + 4 * i, 100, 150 + 4 * i, 140)) for i in range(13)]
+    st = run_strided(frames[:10], stride=3)  # detections at 0,3,6,9
+    st.coast()
+    st.coast()
+    tr = st.finalize()[0]
+    assert len(tr.boxes) == 12
+    # Velocity converges toward 4 px/frame; the 2 tail slots must move
+    # ~4 px each, not ~12 (the un-normalized stride delta).
+    x_last_det = tr.boxes[9][0]
+    for k, slot in enumerate((10, 11)):
+        drift = tr.boxes[slot][0] - x_last_det
+        assert 2 * (k + 1) <= drift <= 6 * (k + 1), (slot, drift)
+
+
+def test_coast_miss_interaction_retires_after_max_age_misses():
+    """Misses at detection frames still age the track; coasted slots do
+    not. max_age=2 with stride 2: 3 consecutive missed detections retire."""
+    a = (50, 50, 100, 90)
+    frames = [dets(a)] * 4 + [dets()] * 8
+    st = run_strided(frames, stride=2, max_age=2)
+    tr = st.finalize()[0]
+    assert tr.consecutive_miss_max == 3
+    assert len(st.completed) == 1
+
+
+def test_stride_one_path_unchanged():
+    """detection_stride=1 with no coast() calls reproduces the original
+    per-frame behavior bit-for-bit (regression guard on the refactor)."""
+    before = (100, 100, 150, 140)
+    after = (112, 100, 162, 140)
+    frames = (
+        [dets(before)] * 5 + [dets()] * 3 + [dets(after)] * 4
+    )
+    tracks = track_faces(frames, H, W)
+    tr = tracks[0]
+    assert tr.hits == 9
+    assert tr.consecutive_miss_max == 3
+    for g in range(3):
+        t = (g + 1) / 4
+        assert tr.boxes[5 + g][0] == round(100 + (112 - 100) * t)
+
+
+def test_finalized_length_respects_stride_window():
+    """At stride 3 the immutable prefix lags (max_age+1)*3-1 slots."""
+    from lipsync_tpu.preprocessing.tracker import StreamingTracker
+
+    st = StreamingTracker(H, W, max_age=2, detection_stride=3)
+    for i in range(20):
+        if i % 3 == 0:
+            st.update(dets((100, 100, 150, 140)))
+        else:
+            st.coast()
+    tr = st.tracks[0]
+    window = (2 + 1) * 3 - 1  # 8
+    assert st.finalized_length(tr) == 20 - window
+    assert st.finalized_length(tr, done=True) == 20
