@@ -368,21 +368,33 @@ class LipSyncDataset:
         return self._zarr_root
 
     def _init_lmdb(self):
+        """Open samples.lmdb (reference dataset.py:245-267). Files written
+        by the real lmdb wheel route to it; files written by the in-repo
+        sqlite-backed store (`lipsync_tpu.utils.kvlite`, same API subset)
+        are auto-detected by header and route there — so the backend works
+        with or without the wheel."""
         if self._lmdb_env is None:
-            try:
-                import lmdb  # type: ignore
-            except ImportError as e:
-                raise RuntimeError(
-                    "LMDB storage selected but `lmdb` is not installed. "
-                    "Install with: pip install lmdb"
-                ) from e
+            from lipsync_tpu.utils import kvlite
+
             path = self.preprocessed_dir / "samples.lmdb"
             if not path.exists():
                 raise ValueError(f"LMDB path not found: {path}")
-            self._lmdb_env = lmdb.open(
-                str(path), readonly=True, lock=False, readahead=False,
-                meminit=False, max_readers=256, subdir=False,
-            )
+            if kvlite.is_sqlite_file(path):
+                self._lmdb_env = kvlite.open(path, readonly=True)
+            else:
+                try:
+                    import lmdb  # type: ignore
+                except ImportError as e:
+                    raise RuntimeError(
+                        f"{path} is a wheel-written LMDB file but `lmdb` "
+                        "is not installed. Install with: pip install lmdb "
+                        "(stores written in this environment use the "
+                        "wheel-free kvlite format and need no install)"
+                    ) from e
+                self._lmdb_env = lmdb.open(
+                    str(path), readonly=True, lock=False, readahead=False,
+                    meminit=False, max_readers=256, subdir=False,
+                )
         return self._lmdb_env
 
     def _load_tensors(self, rec) -> Tuple[np.ndarray, np.ndarray]:

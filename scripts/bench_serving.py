@@ -64,6 +64,8 @@ def main(argv=None):
     p.add_argument("--n-clips", type=int, default=8)
     p.add_argument("--model-path", type=Path, default=None)
     p.add_argument("--stub-model", action="store_true")
+    p.add_argument("--detection-stride", type=int, default=1,
+                   help="host detector stride (Settings.detection_stride)")
     args = p.parse_args(argv)
 
     tmp = Path(tempfile.mkdtemp())
@@ -74,6 +76,7 @@ def main(argv=None):
         port=0, run_embedded_worker=False,
         sqlite_db_path=str(tmp / "jobs.db"),
         model_path=args.model_path or Path("/nonexistent"),
+        detection_stride=args.detection_stride,
     )
     predictor = _StubPredictor() if args.stub_model else None
     state = AppState(settings=settings, predictor=predictor)
@@ -138,6 +141,7 @@ def main(argv=None):
         "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1) if len(lat) else None,
         "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1) if len(lat) else None,
         "stub_model": bool(args.stub_model),
+        "detection_stride": args.detection_stride,
     }
     print(json.dumps(out))
     return out

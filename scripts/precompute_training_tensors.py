@@ -57,9 +57,10 @@ def _open_store(out_dir: Path, storage_format: str, map_size_gb: int = 16):
     zarr uses the in-repo dependency-free v2 codec
     (`lipsync_tpu.utils.zarrlite`) — or the real wheel when installed —
     writing the reference layout ``samples.zarr/<key>/{visual,audio}``
-    (reference precompute_training_tensors.py:341-353). lmdb mirrors the
-    reference's install-gated behavior (:322-340): the wheel is absent in
-    this environment, so selecting it raises with the fix.
+    (reference precompute_training_tensors.py:341-353). lmdb (:322-340)
+    writes through the real wheel when installed, else through the in-repo
+    sqlite-backed `lipsync_tpu.utils.kvlite` (same one-npz-blob-per-key
+    contract, no wheel needed; readers auto-detect which wrote the file).
     """
     if storage_format == "npy":
         return None
@@ -74,21 +75,24 @@ def _open_store(out_dir: Path, storage_format: str, map_size_gb: int = 16):
 
             return zarrlite.open_group(out_dir / "samples.zarr", mode="a")
     if storage_format == "lmdb":
+        path = out_dir / "samples.lmdb"
         try:
             import lmdb  # type: ignore
-        except ImportError as e:
-            raise RuntimeError(
-                "LMDB storage selected but `lmdb` is not installed. "
-                "Install with: pip install lmdb (or use --storage-format "
-                "zarr, which needs no wheel here)"
-            ) from e
-        env = lmdb.open(
-            str(out_dir / "samples.lmdb"),
-            map_size=int(map_size_gb) * (1024 ** 3),
-            subdir=False,
-            lock=True,
-        )
-        return env
+
+            from lipsync_tpu.utils.kvlite import is_sqlite_file
+
+            if path.exists() and is_sqlite_file(path):
+                raise ImportError  # resume a kvlite-written store
+            return lmdb.open(
+                str(path),
+                map_size=int(map_size_gb) * (1024 ** 3),
+                subdir=False,
+                lock=True,
+            )
+        except ImportError:
+            from lipsync_tpu.utils import kvlite
+
+            return kvlite.open(path)
     raise ValueError(f"Unknown storage format: {storage_format}")
 
 

@@ -189,17 +189,31 @@ def test_precompute_store_helpers_zarr(tmp_path, rng):
     np.testing.assert_array_equal(root["sample_000000"]["audio"][:], audio)
 
 
-def test_lmdb_gated_with_install_hint(tmp_path):
+def test_lmdb_format_works_without_wheel(tmp_path, rng):
+    """`--storage-format lmdb` without the wheel routes to the sqlite-backed
+    kvlite store; the dataset reads it back through the same lmdb branch."""
     sys.path.insert(0, str(REPO / "scripts"))
     try:
-        from precompute_training_tensors import _open_store
+        from precompute_training_tensors import _open_store, _store_sample
     finally:
         sys.path.remove(str(REPO / "scripts"))
-    try:
-        import lmdb  # noqa: F401
+    store = _open_store(tmp_path, "lmdb")
+    visual = rng.randint(0, 255, (40, 8, 8, 3)).astype(np.uint8)
+    audio = (rng.rand(80, 280).astype(np.float32) * 80) - 80
+    fields = _store_sample(store, "lmdb", tmp_path, "sample_000000",
+                           visual, audio)
+    assert fields == {}
+    store.sync()
+    store.close()
 
-        pytest.skip("lmdb wheel present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(RuntimeError, match="pip install lmdb"):
-        _open_store(tmp_path, "lmdb")
+    (tmp_path / "manifest.jsonl").write_text(json.dumps({
+        "key": "sample_000000", "source_path": "/src/a.mp4", "label": 1,
+        "precompute_mode": "full_sequence", "storage_format": "lmdb",
+        "target_fps": 15.0, "mel_hz": 100.0,
+    }))
+    ds = LipSyncDataset(preprocessed_dir=tmp_path, video_frames=16,
+                        audio_frames=64)
+    assert ds.storage_format == "lmdb"
+    v, a, label = ds.get_item(0, train_mode_override=False)
+    assert v.shape == (16, 8, 8, 3) and a.shape == (80, 64)
+    assert label == 1.0
