@@ -70,6 +70,11 @@ def main(argv=None) -> int:
     p.add_argument("--skip-generate", action="store_true")
     p.add_argument("--skip-precompute", action="store_true")
     p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--no-hard-negatives", action="store_true",
+                   help="fakes all use independent envelopes (middle "
+                        "difficulty: cross-clip sync learning without the "
+                        "time-shifted same-envelope negatives)")
+    p.add_argument("--no-jitter", action="store_true")
     args = p.parse_args(argv)
 
     w = args.work_dir
@@ -81,11 +86,14 @@ def main(argv=None) -> int:
         for split, n, seed in (("train", args.n_train, 1),
                                ("calib", args.n_calib, 7),
                                ("test", args.n_test, 13)):
-            run([py, "scripts/make_synthetic_dataset.py",
-                 "--output-dir", w / f"raw_{split}", "--n-per-class", n,
-                 "--seconds", args.seconds, "--seed", seed,
-                 "--jitter", "--hard-negatives"],
-                logs / f"gen_{split}.log")
+            cmd = [py, "scripts/make_synthetic_dataset.py",
+                   "--output-dir", w / f"raw_{split}", "--n-per-class", n,
+                   "--seconds", args.seconds, "--seed", seed]
+            if not args.no_jitter:
+                cmd.append("--jitter")
+            if not args.no_hard_negatives:
+                cmd.append("--hard-negatives")
+            run(cmd, logs / f"gen_{split}.log")
 
     # ── 2. precompute (zarr, full_sequence) ──────────────────────────────
     if not args.skip_precompute:
@@ -135,7 +143,8 @@ def main(argv=None) -> int:
             "train_clips": 2 * args.n_train,
             "calib_clips": 2 * args.n_calib,
             "test_clips": 2 * args.n_test,
-            "jitter": True, "hard_negatives": True,
+            "jitter": not args.no_jitter,
+            "hard_negatives": not args.no_hard_negatives,
             "storage": "zarr/full_sequence",
         },
         "calibration": {"method": "platt", "a": pa, "b": pb},
