@@ -179,6 +179,17 @@ def main() -> None:
     )
     track_wps = n_windows / p50_track
 
+    # ---- shared-track visual encoding (encode frames once, not 4x) --------
+    _progress("track shared-encoding path")
+    engine_shared = ScoringEngine(
+        variables, cfg, max_batch=engine_batch, shared_visual_encoding=True
+    )
+    p50_track_shared = _measure(
+        engine_shared.score_track_logits, crops, starts, audio_w,
+        iters=max(3, iters // 2),
+    )
+    track_shared_wps = n_windows / p50_track_shared
+
     target = 100.0  # BASELINE.json north star
     print(
         json.dumps(
@@ -200,6 +211,7 @@ def main() -> None:
                     > 0.5 * (engine_mb_per_call / link_mbps)
                 ),
                 "track_gather_windows_per_sec": round(track_wps, 2),
+                "track_shared_windows_per_sec": round(track_shared_wps, 2),
                 "p50_single_window_ms": round(p50_single * 1e3, 2),
                 "p50_model_batch_ms": round(p50_batch * 1e3, 2),
                 "p50_engine_batch_ms": round(p50_engine * 1e3, 2),

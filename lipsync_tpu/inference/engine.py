@@ -51,6 +51,7 @@ class ScoringEngine:
         mesh: Optional[object] = None,
         max_batch: int = 256,
         transfer_uint8: bool = True,
+        shared_visual_encoding: bool = False,
     ):
         if use_bfloat16 is None:
             use_bfloat16 = jax.devices()[0].platform == "tpu"
@@ -102,7 +103,35 @@ class ScoringEngine:
             windows = crops_u8[idx].astype(jnp.float32) / 255.0
             return model.apply(variables_ref, windows, audio)
 
-        self._track_fwd = jax.jit(track_forward)
+        def track_forward_shared(crops_u8, starts, audio):
+            # Shared-track visual encoding: the visual encoder (86% of
+            # model FLOPs, BENCHMARKS.md profile) has no temporal stride,
+            # so with 75%-overlapping windows (stride 8 of 32,
+            # reference video.py:547-569) the per-window path encodes each
+            # frame 4x. Here the whole track encodes ONCE and windows
+            # gather pooled features + feature maps; only the cheap
+            # post-encoder stages run per window. Numerics deviate from the
+            # per-window path only via temporal conv padding: interior
+            # windows see real neighbor frames instead of zeros at their
+            # edges (single-window tracks are bit-identical; deviation is
+            # measured in tests + BENCHMARKS.md).
+            track = crops_u8.astype(jnp.float32)[None] / 255.0
+            v_feat, v_map = model.apply(
+                variables_ref, track, method="encode_visual"
+            )
+            idx = starts[:, None] + jnp.arange(chunk_size)[None, :]
+            vf = v_feat[0][idx]  # (W, chunk, D)
+            vm = v_map[0][idx] if v_map is not None else None
+            raw = crops_u8[idx].astype(jnp.float32) / 255.0
+            return model.apply(
+                variables_ref, vf, vm, raw, audio, method="score_encoded"
+            )
+
+        self.shared_visual_encoding = bool(shared_visual_encoding)
+        self._track_fwd = jax.jit(
+            track_forward_shared if self.shared_visual_encoding
+            else track_forward
+        )
 
     # ------------------------------------------------------------------
     def score_logits(
@@ -237,7 +266,7 @@ class ScoringEngine:
                  np.repeat(audio_windows[-1:], bucket - w, axis=0)], axis=0
             )
         return self._track_fwd(
-            jnp.asarray(crops, jnp.float32),
+            jnp.asarray(crops),  # uint8 on the wire; /255 inside the program
             jnp.asarray(starts_arr),
             jnp.asarray(audio_windows, jnp.float32),
         )
@@ -262,6 +291,7 @@ def load_engine(
     calibrator: Optional[Calibrator] = None,
     use_bfloat16: Optional[bool] = None,
     mesh: Optional[object] = None,
+    shared_visual_encoding: bool = False,
 ) -> ScoringEngine:
     """Load weights (torch ``.pth`` checkpoints via the converter, or orbax
     directories) and build the engine. Mirrors the wrapper handling of
@@ -284,4 +314,5 @@ def load_engine(
     return ScoringEngine(
         variables, config, calibrator=calibrator,
         use_bfloat16=use_bfloat16, mesh=mesh,
+        shared_visual_encoding=shared_visual_encoding,
     )

@@ -89,6 +89,13 @@ class PredictorConfig:
     # detection cost proportionally (crop-IoU cost measured in
     # scripts/eval_crop_agreement.py --stride).
     detection_stride: int = 1
+    # Shared-track visual encoding in the long-video engine: encode each
+    # track's frames ONCE and gather per-window features instead of
+    # re-encoding every 75%-overlapping window (~2.8x fewer model FLOPs).
+    # Off by default: interior windows see real neighbor frames instead of
+    # per-window zero conv padding, a measured deviation vs the reference's
+    # independent-window numerics (engine.py track_forward_shared).
+    shared_visual_encoding: bool = False
 
     def __post_init__(self):
         if self.confidence_smoothing not in {"none", "median", "trimmed_mean"}:
@@ -129,7 +136,8 @@ class Predictor:
             if model_path is None:
                 raise ValueError("model_path or engine required")
             self.engine = load_engine(
-                Path(model_path), model_config, calibrator=calibrator
+                Path(model_path), model_config, calibrator=calibrator,
+                shared_visual_encoding=config.shared_visual_encoding,
             )
 
     # ── Core scoring helpers ──────────────────────────────────────────────

@@ -11,12 +11,24 @@ Layouts (channels-last, TPU-native):
   visual: ``(B, T, H, W, 3)``  float in [0, 1]
   audio:  ``(B, F, T_a, 1)``   log-mel dB
 Output: ``(B,)`` logits.
+
+Beyond ``__call__`` (the reference-parity forward), the module exposes a
+split surface for the long-video engine's shared-track encoding
+(``ScoringEngine`` with ``shared_visual_encoding=True``):
+``encode_visual`` runs the FLOP-dominant visual encoder once over a whole
+track, and ``score_encoded`` runs everything after it on per-window
+gathers of those features. With the reference's 75%-overlapping windows
+(stride 8 of 32, video.py:547-569) this computes each frame's visual
+features once instead of four times. Numerics: identical to ``__call__``
+for a single-window track; for longer tracks, interior windows see real
+neighboring frames instead of each window's zero temporal conv padding
+(deviation measured in tests/BENCHMARKS.md — parity mode stays default).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -58,7 +70,48 @@ class LipSyncModel(nn.Module):
     config: ModelConfig = ModelConfig()
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.visual_encoder = VisualEncoder(
+            feature_dim=cfg.visual_feature_dim,
+            dropout=cfg.dropout,
+            dtype=self.dtype,
+        )
+        self.audio_encoder = AudioEncoder(
+            feature_dim=cfg.audio_feature_dim,
+            dropout=cfg.dropout,
+            preserve_audio_temporal=cfg.preserve_audio_temporal,
+            dtype=self.dtype,
+        )
+        self.projection = FeatureProjection(
+            embed_dim=cfg.embed_dim, dtype=self.dtype
+        )
+        self.cross_modal = CrossModalAttention(
+            embed_dim=cfg.embed_dim,
+            num_heads=cfg.cross_modal_heads,
+            dropout=cfg.dropout,
+            dtype=self.dtype,
+        )
+        self.temporal = TemporalTransformer(
+            embed_dim=cfg.embed_dim,
+            num_heads=cfg.temporal_heads,
+            num_layers=cfg.temporal_layers,
+            dropout=cfg.dropout,
+            pre_conv=cfg.temporal_pre_conv,
+            dtype=self.dtype,
+        )
+        if cfg.detect_artifacts:
+            self.artifact_detector = ArtifactDetector(
+                visual_feature_dim=cfg.visual_feature_dim,
+                embed_dim=cfg.embed_dim,
+                use_delta_map=cfg.use_delta_artifact,
+                use_high_freq=cfg.use_high_freq_artifact,
+                dtype=self.dtype,
+            )
+        self.classifier = ClassificationHead(
+            hidden_dim=128, dropout=cfg.dropout, dtype=self.dtype
+        )
+
     def __call__(
         self,
         visual: jnp.ndarray,
@@ -66,72 +119,59 @@ class LipSyncModel(nn.Module):
         train: bool = False,
         return_aux: bool = False,
     ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]:
+        visual = visual.astype(self.dtype)
+        v_feat, v_map = self.encode_visual(visual, train=train)
+        return self.score_encoded(
+            v_feat, v_map, visual, audio, train=train, return_aux=return_aux
+        )
+
+    def encode_visual(
+        self, visual: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Visual features for ``(B, T, H, W, 3)`` pixels:
+        ``(pooled (B,T,D), feature_map (B,T,H',W',D) | None)``. T is NOT
+        required to equal ``config.video_frames`` — the encoder has no
+        temporal stride (reference visual_encoder.py:133-152), which is
+        what makes whole-track encoding + per-window gathering possible."""
+        visual = visual.astype(self.dtype)
+        if self.config.detect_artifacts:
+            return self.visual_encoder(visual, train=train, return_map=True)
+        return self.visual_encoder(visual, train=train), None
+
+    def score_encoded(
+        self,
+        v_feat: jnp.ndarray,
+        v_map: Optional[jnp.ndarray],
+        raw_visual: Optional[jnp.ndarray],
+        audio: jnp.ndarray,
+        train: bool = False,
+        return_aux: bool = False,
+    ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]:
+        """Everything after the visual encoder: audio encoder, fusion,
+        temporal transformer, artifact branch, head. ``raw_visual`` feeds
+        the high-frequency artifact branch (ignored when
+        ``detect_artifacts=False``)."""
         cfg = self.config
         deterministic = not train
-        visual = visual.astype(self.dtype)
         audio = audio.astype(self.dtype)
 
-        visual_encoder = VisualEncoder(
-            feature_dim=cfg.visual_feature_dim,
-            dropout=cfg.dropout,
-            dtype=self.dtype,
-            name="visual_encoder",
-        )
-        if cfg.detect_artifacts:
-            v_feat, v_map = visual_encoder(visual, train=train, return_map=True)
-        else:
-            v_feat = visual_encoder(visual, train=train)
-            v_map = None
-
-        a_feat = AudioEncoder(
-            feature_dim=cfg.audio_feature_dim,
-            dropout=cfg.dropout,
-            preserve_audio_temporal=cfg.preserve_audio_temporal,
-            dtype=self.dtype,
-            name="audio_encoder",
-        )(audio, train=train)
-
-        v_emb, a_emb = FeatureProjection(
-            embed_dim=cfg.embed_dim, dtype=self.dtype, name="projection"
-        )(v_feat, a_feat)
-
-        fused = CrossModalAttention(
-            embed_dim=cfg.embed_dim,
-            num_heads=cfg.cross_modal_heads,
-            dropout=cfg.dropout,
-            dtype=self.dtype,
-            name="cross_modal",
-        )(v_emb, a_emb, deterministic=deterministic)
-
-        cls_output = TemporalTransformer(
-            embed_dim=cfg.embed_dim,
-            num_heads=cfg.temporal_heads,
-            num_layers=cfg.temporal_layers,
-            dropout=cfg.dropout,
-            pre_conv=cfg.temporal_pre_conv,
-            dtype=self.dtype,
-            name="temporal",
-        )(fused, deterministic=deterministic)
+        a_feat = self.audio_encoder(audio, train=train)
+        v_emb, a_emb = self.projection(v_feat, a_feat)
+        fused = self.cross_modal(v_emb, a_emb, deterministic=deterministic)
+        cls_output = self.temporal(fused, deterministic=deterministic)
 
         if cfg.detect_artifacts:
-            artifact_feat = ArtifactDetector(
-                visual_feature_dim=cfg.visual_feature_dim,
-                embed_dim=cfg.embed_dim,
-                use_delta_map=cfg.use_delta_artifact,
-                use_high_freq=cfg.use_high_freq_artifact,
-                dtype=self.dtype,
-                name="artifact_detector",
-            )(v_map, cls_output, raw_video=visual, train=train)
+            artifact_feat = self.artifact_detector(
+                v_map,
+                cls_output,
+                raw_video=raw_visual.astype(self.dtype),
+                train=train,
+            )
             combined = jnp.concatenate([cls_output, artifact_feat], axis=-1)
         else:
             combined = cls_output
 
-        logits = ClassificationHead(
-            hidden_dim=128,
-            dropout=cfg.dropout,
-            dtype=self.dtype,
-            name="classifier",
-        )(combined, deterministic=deterministic)
+        logits = self.classifier(combined, deterministic=deterministic)
         logits = logits.astype(jnp.float32)
 
         if not return_aux:

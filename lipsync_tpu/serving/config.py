@@ -49,6 +49,10 @@ class Settings(BaseModel):
     # TPU-rebuild knob (no reference analog): host detector stride for the
     # pipelined long-video path; see PredictorConfig.detection_stride.
     detection_stride: int = 1
+    # TPU-rebuild knob (no reference analog): encode each track once and
+    # gather per-window visual features (~2.8x fewer model FLOPs on long
+    # videos); see PredictorConfig.shared_visual_encoding.
+    shared_visual_encoding: bool = False
     sqlite_db_path: str = "./jobs.db"
     run_embedded_worker: bool = True
     worker_poll_interval_sec: float = 1.0
@@ -85,6 +89,7 @@ class Settings(BaseModel):
             fake_vote_gate=self.fake_vote_gate,
             fake_vote_min_windows=self.fake_vote_min_windows,
             detection_stride=self.detection_stride,
+            shared_visual_encoding=self.shared_visual_encoding,
         )
 
 

@@ -339,6 +339,53 @@ def test_score_track_pads_short_track(tiny_engine, rng):
     np.testing.assert_allclose(gathered, materialized, atol=2e-5)
 
 
+@pytest.fixture(scope="module")
+def tiny_engine_shared(tiny_engine):
+    return ScoringEngine(
+        tiny_engine._variables, TINY, use_bfloat16=False,
+        shared_visual_encoding=True,
+    )
+
+
+def test_shared_encoding_single_window_exact(
+    tiny_engine, tiny_engine_shared, rng
+):
+    """A track of exactly one window has identical temporal conv padding in
+    both paths -> shared-track encoding is numerically the per-window
+    forward (same ops, same zero edges)."""
+    crops = rng.rand(8, 32, 32, 3).astype(np.float32)
+    audio = (rng.rand(1, 80, 32).astype(np.float32) * 60) - 60
+    shared = tiny_engine_shared.score_track_logits(crops, [0], audio)
+    windowed = tiny_engine.score_track_logits(crops, [0], audio)
+    np.testing.assert_allclose(shared, windowed, atol=1e-4)
+
+
+def test_shared_encoding_multiwindow_shapes_and_padding(
+    tiny_engine_shared, rng
+):
+    """Overlapping windows through the shared path: per-window outputs,
+    finite, in [0,1] after calibration; short tracks tail-pad."""
+    crops = rng.rand(20, 32, 32, 3).astype(np.float32)
+    starts = [0, 4, 8, 12]
+    audio = (rng.rand(4, 80, 32).astype(np.float32) * 60) - 60
+    probs = tiny_engine_shared.score_track_probs(crops, starts, audio)
+    assert probs.shape == (4,)
+    assert np.all(np.isfinite(probs))
+    assert np.all((probs >= 0) & (probs <= 1))
+    short = tiny_engine_shared.score_track_probs(
+        crops[:5], [0], audio[:1]
+    )
+    assert short.shape == (1,) and np.isfinite(short[0])
+
+
+def test_shared_encoding_plumbs_through_configs():
+    from lipsync_tpu.serving.config import Settings
+
+    cfg = Settings(shared_visual_encoding=True).to_predictor_config()
+    assert cfg.shared_visual_encoding is True
+    assert PredictorConfig().shared_visual_encoding is False  # parity default
+
+
 def test_temporal_smoothed_spans_full_geometry(rng):
     """At the canonical 32/128 geometry the smoother scores the full clip
     plus three 16-frame half-windows at [0:16], [8:24], [16:32]
