@@ -204,6 +204,39 @@ def test_predictor_long_path_pipelined_vs_batch(tiny_engine, tmp_path):
     assert on["confidence"] == pytest.approx(off["confidence"], abs=0.05)
 
 
+def test_pipelined_detection_stride(tiny_engine, rng):
+    """Stride 3 on a steady face: detector runs on every 3rd frame only,
+    the coasting tracker fills the gaps, and the window grid + scores match
+    the per-frame run (identical boxes for a static face)."""
+    frames = synthetic_frames(n=42)
+    audio_full = (rng.rand(80, 300).astype(np.float32) * 60) - 60
+    calls = [0]
+
+    def script(i):
+        calls[0] += 1
+        return [BOX]
+
+    out = {}
+    for stride in (1, 3):
+        calls[0] = 0
+        chunked, probs = score_long_video_pipelined(
+            frames, audio_full, tiny_engine,
+            backend=FakeDetector(script),
+            chunk_size=8, stride=4, max_tracks=6, crop_size=32,
+            audio_frames=TINY.audio_frames,
+            detection_stride=stride,
+        )
+        assert len(chunked) == 1
+        out[stride] = (calls[0], chunked[0], probs[0])
+    n_calls_1, tr1, p1 = out[1]
+    n_calls_3, tr3, p3 = out[3]
+    assert n_calls_1 == 42
+    assert n_calls_3 == 14  # every 3rd frame only
+    assert tr3.chunk_starts == tr1.chunk_starts
+    np.testing.assert_array_equal(tr3.crops, tr1.crops)
+    np.testing.assert_allclose(p3, p1, atol=1e-6)
+
+
 def test_pipelined_multi_track(tiny_engine, rng):
     """Two concurrent faces -> two tracks, each fully scored."""
     frames = synthetic_frames(n=40)
