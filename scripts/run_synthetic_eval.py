@@ -70,6 +70,11 @@ def main(argv=None) -> int:
     p.add_argument("--skip-generate", action="store_true")
     p.add_argument("--skip-precompute", action="store_true")
     p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--phase3-start-epoch", type=int, default=None,
+                   help="unfreeze everything at this epoch (reference "
+                        "default 15 assumes 50K-clip epochs; small synthetic "
+                        "runs want 0)")
+    p.add_argument("--lr-encoder", type=float, default=None)
     p.add_argument("--no-hard-negatives", action="store_true",
                    help="fakes all use independent envelopes (middle "
                         "difficulty: cross-clip sync learning without the "
@@ -113,12 +118,18 @@ def main(argv=None) -> int:
     # ── 3. train ─────────────────────────────────────────────────────────
     weights = w / "weights"
     if not args.skip_train:
-        run([py, "-m", "lipsync_tpu.training.train",
-             "--preprocessed-dir", w / "pre_train",
-             "--output-dir", weights,
-             "--epochs", args.epochs, "--batch-size", args.batch_size,
-             "--early-stopping-patience", 15],
-            logs / "train.log")
+        cmd = [py, "-m", "lipsync_tpu.training.train",
+               "--preprocessed-dir", w / "pre_train",
+               "--output-dir", weights,
+               "--epochs", args.epochs, "--batch-size", args.batch_size,
+               "--early-stopping-patience", 15]
+        if args.phase3_start_epoch is not None:
+            cmd += ["--phase2-start-epoch",
+                    min(args.phase3_start_epoch, 5),
+                    "--phase3-start-epoch", args.phase3_start_epoch]
+        if args.lr_encoder is not None:
+            cmd += ["--lr-encoder", args.lr_encoder]
+        run(cmd, logs / "train.log")
     best = weights / "best_model_accuracy"
 
     # ── 4. calibrate on the held-out calib split ─────────────────────────
