@@ -96,6 +96,10 @@ class PredictorConfig:
     # per-window zero conv padding, a measured deviation vs the reference's
     # independent-window numerics (engine.py track_forward_shared).
     shared_visual_encoding: bool = False
+    # Shard the window batch axis over the first N devices (0/1 = single
+    # device). Params replicate; XLA derives the collectives (SURVEY §2.4
+    # design: DP over windows/tracks/requests is the whole story).
+    data_parallel_devices: int = 0
 
     def __post_init__(self):
         if self.confidence_smoothing not in {"none", "median", "trimmed_mean"}:
@@ -135,9 +139,15 @@ class Predictor:
         else:
             if model_path is None:
                 raise ValueError("model_path or engine required")
+            mesh = None
+            if config.data_parallel_devices > 1:
+                from lipsync_tpu.parallel import mesh as mesh_lib
+
+                mesh = mesh_lib.make_mesh(config.data_parallel_devices)
             self.engine = load_engine(
                 Path(model_path), model_config, calibrator=calibrator,
                 shared_visual_encoding=config.shared_visual_encoding,
+                mesh=mesh,
             )
 
     # ── Core scoring helpers ──────────────────────────────────────────────

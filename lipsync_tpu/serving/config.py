@@ -53,6 +53,9 @@ class Settings(BaseModel):
     # gather per-window visual features (~2.8x fewer model FLOPs on long
     # videos); see PredictorConfig.shared_visual_encoding.
     shared_visual_encoding: bool = False
+    # TPU-rebuild knob (no reference analog): shard the serving window batch
+    # over the first N chips of a slice (0/1 = single chip).
+    data_parallel_devices: int = 0
     sqlite_db_path: str = "./jobs.db"
     run_embedded_worker: bool = True
     worker_poll_interval_sec: float = 1.0
@@ -90,6 +93,7 @@ class Settings(BaseModel):
             fake_vote_min_windows=self.fake_vote_min_windows,
             detection_stride=self.detection_stride,
             shared_visual_encoding=self.shared_visual_encoding,
+            data_parallel_devices=self.data_parallel_devices,
         )
 
 

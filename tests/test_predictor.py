@@ -284,6 +284,34 @@ def test_load_engine_missing_path():
         load_engine(Path("/nonexistent/weights.pth"), TINY)
 
 
+def test_predictor_data_parallel_devices_builds_mesh(tmp_path, rng):
+    """PredictorConfig.data_parallel_devices shards the serving engine over
+    the first N devices; scoring matches single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lipsync_tpu.training.checkpoints import save_checkpoint
+
+    model = LipSyncModel(TINY)
+    visual = np.zeros((1, 8, 32, 32, 3), np.float32)
+    audio = np.zeros((1, 80, 32, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), visual, audio)
+    save_checkpoint(tmp_path / "ckpt", variables, {"note": "test"})
+
+    p = Predictor(
+        model_path=tmp_path / "ckpt",
+        config=PredictorConfig(data_parallel_devices=8),
+        model_config=TINY,
+    )
+    assert p.engine.mesh is not None
+    assert p.engine.mesh.devices.size == 8
+    v = rng.rand(5, 8, 32, 32, 3).astype(np.float32)
+    a = (rng.rand(5, 80, 32).astype(np.float32) * 60) - 60
+    single = ScoringEngine(variables, TINY, use_bfloat16=False)
+    np.testing.assert_allclose(
+        p.engine.score_probs(v, a), single.score_probs(v, a), atol=2e-5
+    )
+
+
 def test_score_track_matches_materialized_windows(tiny_engine, rng):
     """Device window-gather path == host-materialized windows."""
     n, chunk = 20, 8
