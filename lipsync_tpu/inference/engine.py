@@ -128,10 +128,26 @@ class ScoringEngine:
             )
 
         self.shared_visual_encoding = bool(shared_visual_encoding)
-        self._track_fwd = jax.jit(
+        track_fn = (
             track_forward_shared if self.shared_visual_encoding
             else track_forward
         )
+        if mesh is not None:
+            # Long-video serving path: the track's crops replicate (every
+            # chip gathers its own windows from them); the window batch
+            # (starts + audio) shards, so window forwards spread across the
+            # slice just like score_logits.
+            self._track_fwd = jax.jit(
+                track_fn,
+                in_shardings=(
+                    mesh_lib.replicated(mesh),
+                    mesh_lib.batch_sharding(mesh),
+                    mesh_lib.batch_sharding(mesh),
+                ),
+                out_shardings=mesh_lib.batch_sharding(mesh),
+            )
+        else:
+            self._track_fwd = jax.jit(track_fn)
 
     # ------------------------------------------------------------------
     def score_logits(
@@ -258,6 +274,9 @@ class ScoringEngine:
                 [crops, np.repeat(crops[-1:], n_pad - n, axis=0)], axis=0
             )
         bucket = _bucket_batch(w)
+        if self.mesh is not None:  # window batch must shard evenly
+            n_dev = int(self.mesh.devices.size)
+            bucket = ((max(bucket, n_dev) + n_dev - 1) // n_dev) * n_dev
         starts_arr = np.zeros(bucket, np.int32)
         starts_arr[:w] = np.asarray(starts, np.int32)
         if bucket != w:

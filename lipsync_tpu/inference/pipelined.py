@@ -92,7 +92,7 @@ def score_long_video_pipelined(
         return [], {}
     h, w = frames.shape[1:3]
 
-    def run_stream() -> Tuple[StreamingTracker, Dict[int, _TrackBook], bool]:
+    def run_stream():
         tracker = StreamingTracker(
             h, w,
             max_tracks=max_tracks,
@@ -117,14 +117,19 @@ def score_long_video_pipelined(
                      crop_size=crop_size, audio_full=audio_full,
                      total_frames=total_frames, audio_frames=audio_frames,
                      engine=engine, dispatch_batch=dispatch_batch)
+        # Final flush scores only the tracks finalize() keeps — the batch
+        # path never scores retired transient tracks either, and a jittery
+        # clip can create dozens of short-lived ones.
+        results = tracker.finalize()
         _advance(tracker, books, frames, done=True,
                  chunk_size=chunk_size, stride=stride, crop_size=crop_size,
                  audio_full=audio_full, total_frames=total_frames,
                  audio_frames=audio_frames, engine=engine,
-                 dispatch_batch=dispatch_batch)
-        return tracker, books, any_detection
+                 dispatch_batch=dispatch_batch,
+                 viable_ids={tr.track_id for tr in results})
+        return tracker, books, results, any_detection
 
-    tracker, books, any_detection = run_stream()
+    tracker, books, results, any_detection = run_stream()
 
     # Zero-detection relaxed retry (reference face_detection.py:1057-1082;
     # cascade analog min_neighbors=1 — mirrors detect_and_crop_tracks).
@@ -140,15 +145,14 @@ def score_long_video_pipelined(
             backend.min_neighbors = 1
             if hasattr(backend, "reset"):
                 backend.reset()
-            tracker, books, _ = run_stream()
+            tracker, books, results, _ = run_stream()
         finally:
             backend.min_neighbors = original
 
     # ── Assemble viable tracks + pull device results ─────────────────────
-    results = tracker.finalize()
     chunked: List[ChunkedTrack] = []
     probs_by_index: Dict[int, List[float]] = {}
-    for out_idx, tr in enumerate(results):
+    for tr in results:
         book = books.get(tr.track_id)
         if book is None:  # defensive: every finalized track has a book
             continue
@@ -179,7 +183,9 @@ def score_long_video_pipelined(
                 track_end_frame=tr.track_end_frame,
             )
         )
-        probs_by_index[out_idx] = probs
+        # Keyed by position in `chunked`, which can diverge from the
+        # finalize() index if the defensive skip above ever fires.
+        probs_by_index[len(chunked) - 1] = probs
     return chunked, probs_by_index
 
 
@@ -197,9 +203,17 @@ def _advance(
     audio_frames: int,
     engine,
     dispatch_batch: int,
+    viable_ids: Optional[set] = None,
 ) -> None:
-    """Crop newly-finalized slots and dispatch completed windows."""
+    """Crop newly-finalized slots and dispatch completed windows.
+
+    ``viable_ids`` (the end-of-stream flush) restricts work to the tracks
+    finalize() keeps, so transient false-positive tracks don't cost crops
+    or device dispatches.
+    """
     for state in tracker.all_states():
+        if viable_ids is not None and state.track_id not in viable_ids:
+            continue
         book = books.setdefault(state.track_id, _TrackBook(state=state))
         final_n = tracker.finalized_length(state, done=done)
 

@@ -112,6 +112,8 @@ class PredictorConfig:
         self.refine_top_k = int(max(1, self.refine_top_k))
         self.fake_vote_gate = float(max(0.0, min(1.0, self.fake_vote_gate)))
         self.fake_vote_min_windows = int(max(1, self.fake_vote_min_windows))
+        self.detection_stride = int(max(1, self.detection_stride))
+        self.data_parallel_devices = int(max(0, self.data_parallel_devices))
 
 
 class Predictor:

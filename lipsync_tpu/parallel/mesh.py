@@ -64,9 +64,15 @@ def pad_batch_to_multiple(batch: dict, n_dev: int) -> dict:
     Fixes the ragged-final-batch hazard: an un-padded remainder batch can't
     shard evenly over the mesh, which would commit it to one device and
     compile a second (unsharded) program. The mask is threaded into the
-    losses/metrics so padded rows contribute nothing (train step:
-    ``lipsync_tpu.training.steps``). Always adds the mask — even when no
-    padding is needed — so full batches reuse one compiled program family.
+    losses/metrics so padded rows contribute nothing to the loss/metric
+    sums (train step: ``lipsync_tpu.training.steps``). Always adds the
+    mask — even when no padding is needed — so full batches reuse one
+    compiled program family.
+
+    Caveat: BatchNorm batch statistics still see the padded (repeated-row)
+    samples in train mode, so real rows' activations on a padded step are
+    not bit-identical to an unpadded step — a small, bounded perturbation
+    (duplicates of an in-batch row), the standard trade for static shapes.
     """
     b = int(next(iter(batch.values())).shape[0])
     target = pad_to_multiple(b, n_dev)

@@ -226,12 +226,15 @@ class StreamingTracker:
         """Consume one frame WITHOUT running detection (detection-stride
         mode): every live track gets a velocity-extrapolated box for this
         slot, lerp-backfilled on the next real match exactly like a missed
-        slot — but with no age/stability penalty, since skipping detection
-        was the caller's choice, not evidence the face vanished.
+        slot.
 
-        ``hits`` counts the slot so stability stays the detection-frame hit
-        rate (span-relative semantics of reference
-        face_detection.py:1000-1020 are preserved across strides).
+        Stability bookkeeping follows the track's CURRENT detection state so
+        span-relative semantics (reference face_detection.py:1000-1020) are
+        preserved across strides: while matched (``age == 0``) the coasted
+        slot counts as a hit — skipping detection was the caller's choice,
+        not evidence the face vanished; mid-miss-streak (``age > 0``) it is
+        placeholder-only and counts against stability exactly like the
+        intervening frames of a stride-1 miss streak would.
         """
         t_idx = self.frames_consumed
         for tr in self.tracks:
@@ -242,8 +245,9 @@ class StreamingTracker:
                                       steps=gap + 1)
             tr.boxes.append(_clamp_box(predicted, self.frame_height,
                                        self.frame_width, self.center_box))
-            tr.end_frame_idx = t_idx
-            tr.hits += 1
+            if tr.age == 0:
+                tr.end_frame_idx = t_idx
+                tr.hits += 1
             tr.coast_pending += 1
         self.frames_consumed = t_idx + 1
 

@@ -215,9 +215,14 @@ def run_stride_sim(
                     st.update([Detection(bbox=b)])
                 else:
                     st.coast()
-            tr = st.finalize()[0]
-            for t, b in enumerate(tr.boxes):
-                ious[s].append(bbox_iou(b, boxes[t]))
+            # Score EVERY kept track against its own span of the truth
+            # (fast motion can break the track; slot i of a re-acquired
+            # track maps to absolute frame track_start_frame + i).
+            for tr in st.finalize():
+                for i, b in enumerate(tr.boxes):
+                    t_abs = tr.track_start_frame + i
+                    if t_abs < n_frames:
+                        ious[s].append(bbox_iou(b, boxes[t_abs]))
 
     def stats(v):
         a = np.asarray(v)

@@ -96,6 +96,22 @@ def _open_store(out_dir: Path, storage_format: str, map_size_gb: int = 16):
     raise ValueError(f"Unknown storage format: {storage_format}")
 
 
+def _zarr_put(grp, name: str, data: np.ndarray) -> None:
+    """Write one array member across backends: zarrlite takes
+    ``create_array(name, data)``; zarr-python 3 wants keyword
+    shape/dtype then assignment; zarr-python 2 has ``create_dataset``."""
+    try:
+        grp.create_array(name, data)  # zarrlite
+        return
+    except TypeError:
+        pass
+    except AttributeError:
+        grp.create_dataset(name, data=data)  # zarr-python 2.x
+        return
+    arr = grp.create_array(name, shape=data.shape, dtype=data.dtype)
+    arr[:] = data  # zarr-python 3.x
+
+
 def _store_sample(
     store,
     storage_format: str,
@@ -113,8 +129,8 @@ def _store_sample(
         return {"visual_relpath": visual_rel, "audio_relpath": audio_rel}
     if storage_format == "zarr":
         grp = store.require_group(key)
-        grp.create_array("visual", visual)
-        grp.create_array("audio", audio)
+        _zarr_put(grp, "visual", visual)
+        _zarr_put(grp, "audio", audio)
         return {}
     # lmdb: one npz blob per key (reference precompute :148-153)
     import io

@@ -223,7 +223,30 @@ def test_stride_one_path_unchanged():
         assert tr.boxes[5 + g][0] == round(100 + (112 - 100) * t)
 
 
-def test_finalized_length_respects_stride_window():
+def test_coast_does_not_mask_miss_streaks():
+    """Coasted slots during a real miss streak count AGAINST stability:
+    a face visible on half the detection attempts at stride 3 must read
+    ~0.5 stability (stride-1 semantics), not ~0.83 (ghost-track
+    inflation). Regression for the round-2 review finding."""
+    a = (100, 100, 150, 140)
+    frames = []  # detection attempts alternate hit/miss, 2 coasts between
+    for det_i in range(8):
+        frames.append(dets(a) if det_i % 2 == 0 else dets())
+        frames += [None, None]
+    from lipsync_tpu.preprocessing.tracker import StreamingTracker
+
+    st = StreamingTracker(H, W, detection_stride=3, max_age=10)
+    for f in frames:
+        if f is None:
+            st.coast()
+        else:
+            st.update(f)
+    tr = st.tracks[0]
+    stab = st.stability(tr)
+    # 4 hits + 8 matched-state coasts over a ~22-slot span ≈ 0.5; the
+    # pre-fix behavior counted every coast as a hit (≈ 0.83).
+    assert stab < 0.65, stab
+    assert tr.hits <= 12
     """At stride 3 the immutable prefix lags (max_age+1)*3-1 slots."""
     from lipsync_tpu.preprocessing.tracker import StreamingTracker
 
