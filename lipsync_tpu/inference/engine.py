@@ -296,12 +296,20 @@ class ScoringEngine:
         )
 
     def warmup(self) -> None:
-        """Compile the canonical window shape ahead of traffic."""
+        """Compile the canonical shapes ahead of traffic: the single-window
+        forward (short-video path) and the smallest track-gather program
+        (long-video path: crop length = 2 windows' span bucket, start
+        bucket 2 — the shape a ~3 s clip hits first)."""
         cfg = self.config
         v = np.zeros((1, cfg.video_frames, cfg.crop_size, cfg.crop_size, 3),
                      np.float32)
         a = np.zeros((1, cfg.mel_bins, cfg.audio_frames), np.float32)
         self.score_logits(v, a)
+        crops = np.zeros(
+            (cfg.video_frames + 1, cfg.crop_size, cfg.crop_size, 3), np.uint8
+        )
+        aw = np.zeros((2, cfg.mel_bins, cfg.audio_frames), np.float32)
+        self.score_track_logits(crops, [0, 1], aw)
 
 
 def load_engine(
