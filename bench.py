@@ -101,7 +101,10 @@ def main() -> None:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = LipSyncModel(cfg, dtype=dtype)
 
-    throughput_batch = 512 if on_tpu else 2
+    # 1024 measured 4.5% faster per window than 512 on v5e-1 (3,012 vs
+    # 2,883 w/s) and fits HBM comfortably; both programs are in the
+    # persistent cache.
+    throughput_batch = 1024 if on_tpu else 2
     engine_batch = 128 if on_tpu else 2
     iters = 20 if on_tpu else 3
     rng = np.random.RandomState(0)
