@@ -128,6 +128,20 @@ class ScoringEngine:
             )
 
         self.shared_visual_encoding = bool(shared_visual_encoding)
+        if self.shared_visual_encoding and mesh is not None:
+            # The two knobs compose poorly on the long-video path: the
+            # track's crops replicate, so the FLOP-dominant whole-track
+            # encode_visual runs redundantly on every device and only the
+            # cheap post-encoder stages shard. With >=4 devices the
+            # non-shared path (windows sharded, 4x FLOPs / n_dev) is
+            # faster — prefer ONE of shared_visual_encoding or
+            # data_parallel_devices for long videos.
+            logger.warning(
+                "shared_visual_encoding with a %d-device mesh: the track "
+                "encode runs replicated on every device; data parallelism "
+                "only applies to post-encoder stages. Prefer one knob or "
+                "the other for long videos.", mesh.devices.size,
+            )
         track_fn = (
             track_forward_shared if self.shared_visual_encoding
             else track_forward

@@ -238,8 +238,10 @@ class StreamingTracker:
         """
         t_idx = self.frames_consumed
         for tr in self.tracks:
-            if tr.age > self.max_age:
-                continue
+            # Invariant: update() retires tracks past max_age before
+            # returning and coast() never increments age, so every live
+            # track here is within its grace period.
+            assert tr.age <= self.max_age, "retired track left in self.tracks"
             gap = tr.age + tr.coast_pending
             predicted = _predict_bbox(tr.last_bbox, tr.velocity,
                                       steps=gap + 1)

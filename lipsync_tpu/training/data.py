@@ -523,18 +523,46 @@ class BatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+        error: List[BaseException] = []
+
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer has gone away."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            for b in batches:
-                q.put(self._make_batch(b))
-            q.put(sentinel)
+            # The sentinel MUST land even if a batch raises (an augmentation
+            # or storage error), otherwise the consumer blocks on q.get()
+            # forever — try/finally guarantees termination either way.
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    if not _put(self._make_batch(b)):
+                        return
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                error.append(e)
+            finally:
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if item is None:
-                continue  # whole batch failed -> skip (train.py:140-146)
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if item is None:
+                    continue  # whole batch failed -> skip (train.py:140-146)
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
+        if error:
+            raise error[0]

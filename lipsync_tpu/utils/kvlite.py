@@ -29,6 +29,7 @@ opener (see ``LipSyncDataset._init_lmdb``).
 from __future__ import annotations
 
 import sqlite3
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -64,9 +65,12 @@ class _Txn:
     """One transaction; context-managed like ``lmdb.Transaction`` (commit
     on clean exit, rollback on exception)."""
 
-    def __init__(self, conn: sqlite3.Connection, write: bool):
+    def __init__(self, conn: sqlite3.Connection, write: bool,
+                 lock: threading.Lock):
         self._conn = conn
         self._write = write
+        self._lock = lock
+        self._lock.acquire()
 
     def get(self, key: bytes, default: Optional[bytes] = None):
         row = self._conn.execute(
@@ -93,16 +97,29 @@ class _Txn:
         return self
 
     def __exit__(self, exc_type, exc, tb):
-        if self._write:
-            if exc_type is None:
-                self._conn.commit()
-            else:
-                self._conn.rollback()
+        try:
+            if self._write:
+                if exc_type is None:
+                    self._conn.commit()
+                else:
+                    self._conn.rollback()
+        finally:
+            self._lock.release()
         return False
 
 
 class Env:
+    """One sqlite connection shared across threads, serialized by a
+    per-transaction lock: ``begin()`` blocks until the previous transaction
+    exits, so a reader never observes an in-flight writer's uncommitted
+    rows and cross-thread commits cannot interleave. (Real lmdb gives
+    snapshot-isolated readers; the repo's loaders only need mutual
+    exclusion — transactions are short per-sample get/put calls.)
+    Do NOT nest transactions on one thread: ``begin()`` inside an open
+    transaction deadlocks by design."""
+
     def __init__(self, path: Path, readonly: bool = False):
+        self._lock = threading.Lock()
         path = Path(path)
         self.path = path
         self.readonly = readonly
@@ -124,14 +141,16 @@ class Env:
     def begin(self, write: bool = False) -> _Txn:
         if write and self.readonly:
             raise Error("write transaction on a read-only Env")
-        return _Txn(self._conn, write)
+        return _Txn(self._conn, write, self._lock)
 
     def sync(self) -> None:
         if not self.readonly:
-            self._conn.commit()
+            with self._lock:
+                self._conn.commit()
 
     def stat(self) -> dict:
-        n = self._conn.execute("SELECT COUNT(*) FROM kv").fetchone()[0]
+        with self._lock:
+            n = self._conn.execute("SELECT COUNT(*) FROM kv").fetchone()[0]
         return {"entries": int(n)}
 
     def close(self) -> None:

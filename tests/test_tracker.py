@@ -247,6 +247,9 @@ def test_coast_does_not_mask_miss_streaks():
     # pre-fix behavior counted every coast as a hit (≈ 0.83).
     assert stab < 0.65, stab
     assert tr.hits <= 12
+
+
+def test_finalized_length_with_stride():
     """At stride 3 the immutable prefix lags (max_age+1)*3-1 slots."""
     from lipsync_tpu.preprocessing.tracker import StreamingTracker
 

@@ -160,6 +160,41 @@ def test_loader_skips_failed_samples(preprocessed_dir):
     assert total == 5  # one dropped
 
 
+def test_loader_augment_crash_raises_not_hangs(preprocessed_dir):
+    """A raising augmentation must surface, not deadlock the consumer
+    (the producer thread always enqueues its sentinel; round-3 fix)."""
+
+    class _Boom:
+        def __call__(self, visual, audio, rng=None):
+            raise RuntimeError("augment boom")
+
+    ds = LipSyncDataset(
+        preprocessed_dir=preprocessed_dir, video_frames=16, audio_frames=64
+    )
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, augment=_Boom())
+    with pytest.raises(RuntimeError, match="augment boom"):
+        list(loader)
+
+
+def test_loader_early_break_does_not_leak_producer(preprocessed_dir):
+    """Breaking out of iteration stops the producer thread promptly even
+    with a full prefetch queue."""
+    import threading
+    import time
+
+    ds = LipSyncDataset(
+        preprocessed_dir=preprocessed_dir, video_frames=16, audio_frames=64
+    )
+    before = threading.active_count()
+    for _ in range(3):
+        for batch in BatchLoader(ds, batch_size=1, shuffle=False, prefetch=1):
+            break  # consume one batch then abandon the iterator
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 # ── phased optimizer ─────────────────────────────────────────────────────
 
 
