@@ -1,11 +1,13 @@
 """Host-side face detection backends behind a common interface.
 
-The reference binds detection to MediaPipe FaceMesh with a 3-stage fallback
-chain (`/root/reference/app/preprocessing/face_detection.py:330-449`:
+The reference binds detection to MediaPipe FaceMesh with a 4-rung fallback
+ladder (`/root/reference/app/preprocessing/face_detection.py:330-449`:
 FaceMesh -> MediaPipe FaceDetection bbox -> OpenCV Haar frontal+profile ->
-center crop). MediaPipe has no TPU analog and is treated as an optional
-backend; the OpenCV cascade tier (the reference's own production fallback)
-is the default host detector here, and a scripted fake backend exists so
+center crop). All four rungs exist here: the two MediaPipe tiers
+(`MediaPipeDetector`, `MediaPipeFaceDetectionDetector`) are optional
+backends (no TPU-image wheel); the OpenCV cascade tier (the reference's
+own production fallback) is the default host detector, lip-refined to
+recover landmark-tier precision; and a scripted fake backend exists so
 pipeline tests need no detector at all (SURVEY.md §4 "fixtures: none" gap).
 
 Backends return MOUTH bounding boxes only — cropping/resizing happens on
@@ -264,6 +266,56 @@ class MediaPipeDetector:
         return out
 
 
+class MediaPipeFaceDetectionDetector:
+    """MediaPipe FaceDetection BBOX backend — the reference ladder's middle
+    tier (face_detection.py:330-385): a lightweight single-shot detector
+    that yields face boxes (no landmarks), mapped to mouth regions with the
+    same face->mouth heuristic as the cascade tier. Optional: raises
+    ImportError when the mediapipe wheel is absent."""
+
+    name = "facedetection"
+
+    def __init__(
+        self,
+        max_num_faces: int = 5,
+        min_detection_confidence: float = 0.3,
+        model_selection: int = 1,
+    ):
+        import mediapipe as mp  # noqa: F401  (optional dependency)
+
+        self.max_num_faces = max_num_faces
+        # model_selection=1: full-range model (faces beyond ~2 m), the
+        # robustness rung the reference picks for this tier
+        # (face_detection.py:340-344).
+        self._detector = mp.solutions.face_detection.FaceDetection(
+            model_selection=model_selection,
+            min_detection_confidence=min_detection_confidence,
+        )
+
+    def detect(self, frame: np.ndarray) -> List[Detection]:
+        h, w = frame.shape[:2]
+        results = self._detector.process(frame)
+        if not results or not results.detections:
+            return []
+        out: List[Detection] = []
+        for det in results.detections[: self.max_num_faces]:
+            rel = det.location_data.relative_bounding_box
+            fx = int(rel.xmin * w)
+            fy = int(rel.ymin * h)
+            fw = int(rel.width * w)
+            fh = int(rel.height * h)
+            if fw < 4 or fh < 4:
+                continue
+            score = float(det.score[0]) if det.score else 1.0
+            mouth = face_bbox_to_mouth_bbox(fx, fy, fw, fh, w, h)
+            if mouth[2] - mouth[0] < 4 or mouth[3] - mouth[1] < 4:
+                continue
+            out.append(
+                Detection(bbox=mouth, detector=self.name, score=score)
+            )
+        return out
+
+
 def _normalized(x: np.ndarray) -> np.ndarray:
     lo, hi = float(x.min()), float(x.max())
     if hi - lo < 1e-6:
@@ -475,6 +527,15 @@ def get_default_backend(
     tiers: List[FaceDetectorBackend] = []
     try:
         tiers.append(MediaPipeDetector(max_num_faces=max_num_faces))
+    except ImportError:
+        pass
+    try:
+        # Middle rung of the reference's 4-tier ladder
+        # (face_detection.py:330-385): bbox-only FaceDetection between the
+        # landmark FaceMesh tier and the Haar cascades.
+        tiers.append(
+            MediaPipeFaceDetectionDetector(max_num_faces=max_num_faces)
+        )
     except ImportError:
         pass
     cascade: FaceDetectorBackend = CascadeDetector(max_num_faces=max_num_faces)

@@ -94,12 +94,15 @@ def sample_aligned_contiguous_clip(
     mel_hz: float = 100.0,
     train_mode: bool = True,
     rng: Optional[np.random.RandomState] = None,
+    keep_uint8: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """full_sequence window sampler (dataset.py:348-448).
 
     visual_seq: (T, H, W, C) uint8; audio_seq: (80, T_a) dB.
-    Returns visual (video_frames, H, W, C) float32 [0,1] and audio
-    (80, audio_frames) float32. Raises on clips shorter than half a window.
+    Returns visual (video_frames, H, W, C) float32 [0,1] — or raw uint8
+    pixels with ``keep_uint8`` (4x less host copy/stack work; the device
+    train step normalizes) — and audio (80, audio_frames) float32.
+    Raises on clips shorter than half a window.
     """
     if rng is None:
         rng = np.random
@@ -136,7 +139,10 @@ def sample_aligned_contiguous_clip(
             else visual_seq
         )
 
-    visual = visual_win.astype(np.float32) / 255.0
+    if keep_uint8 and visual_win.dtype == np.uint8:
+        visual = visual_win
+    else:
+        visual = visual_win.astype(np.float32) / 255.0
 
     a_total = audio_seq.shape[1]
     mel_start = int(round((start / max(target_fps, 1e-6)) * mel_hz))
@@ -258,10 +264,14 @@ class LipSyncDataset:
         detector_backend=None,
         require_face_detection: bool = True,
         storage_format: str = "auto",
+        uint8_visual: bool = False,
     ):
         self.split = split
         self.video_frames = video_frames
         self.audio_frames = audio_frames
+        # Ship raw uint8 windows (full_sequence mode) instead of float32
+        # [0,1]; pairs with device-side normalization/augmentation.
+        self.uint8_visual = uint8_visual
         self.backend = detector_backend
         self.require_face_detection = require_face_detection
         self.preprocessed_dir = (
@@ -441,6 +451,7 @@ class LipSyncDataset:
                 target_fps=float(rec.get("target_fps", 15.0)),
                 mel_hz=float(rec.get("mel_hz", 100.0)),
                 train_mode=train_mode,
+                keep_uint8=self.uint8_visual,
             )
         else:
             visual = visual.astype(np.float32, copy=False)
@@ -451,13 +462,21 @@ class LipSyncDataset:
 
 
 def safe_collate(samples) -> Optional[Dict[str, np.ndarray]]:
-    """Drop None samples; None if the whole batch failed (collate.py:12-34)."""
+    """Drop None samples; None if the whole batch failed (collate.py:12-34).
+
+    uint8 visual windows stay uint8 (4x less stack/copy + host->device
+    traffic; the device step normalizes)."""
     good = [s for s in samples if s is not None]
     if not good:
         return None
+    visual = np.stack([s[0] for s in good])
+    if visual.dtype != np.uint8:
+        visual = visual.astype(np.float32, copy=False)
     return {
-        "visual": np.stack([s[0] for s in good]).astype(np.float32),
-        "audio": np.stack([s[1] for s in good])[..., None].astype(np.float32),
+        "visual": visual,
+        "audio": np.stack(
+            [s[1] for s in good]
+        )[..., None].astype(np.float32, copy=False),
         "label": np.asarray([s[2] for s in good], np.float32),
     }
 

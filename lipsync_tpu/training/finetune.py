@@ -25,6 +25,8 @@ from lipsync_tpu.models import (
     ModelConfig,
     load_torch_checkpoint,
 )
+from lipsync_tpu.ops.augment import AugmentConfig
+from lipsync_tpu.parallel import mesh as mesh_lib
 from lipsync_tpu.training import checkpoints as ckpt_lib
 from lipsync_tpu.training.data import (
     Augmentations,
@@ -98,6 +100,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--audio-frames", type=int, default=128)
     p.add_argument("--crop-size", type=int, default=96)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--device-augment", action="store_true",
+                   help="Augment on device inside the jitted step "
+                        "(lipsync_tpu.ops.augment) instead of the host "
+                        "loader thread")
     p.add_argument("--no-face-detection", action="store_true")
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
     return p
@@ -110,7 +116,15 @@ def run_finetune(args, detector_backend=None) -> Dict[str, float]:
         audio_frames=args.audio_frames,
     )
     model = LipSyncModel(cfg)
+    # Same data-parallel surface as train.py:139,239-242 (reference
+    # finetune.py is single-device; SURVEY §2.4 makes DP a first-class
+    # axis of the rebuild): batches pad to a device multiple and shard
+    # over the 1-D data mesh; XLA inserts the gradient all-reduce.
+    n_dev = len(jax.devices())
+    mesh = mesh_lib.make_mesh() if n_dev > 1 else None
+    logger.info("Finetuning on %d device(s)", n_dev)
 
+    device_augment = bool(getattr(args, "device_augment", False))
     dataset = LipSyncDataset(
         data_dir=args.data_dir,
         preprocessed_dir=args.preprocessed_dir,
@@ -118,6 +132,7 @@ def run_finetune(args, detector_backend=None) -> Dict[str, float]:
         audio_frames=args.audio_frames,
         detector_backend=detector_backend,
         require_face_detection=not args.no_face_detection,
+        uint8_visual=device_augment,
     )
     n = len(dataset)
     rng = np.random.RandomState(args.seed)
@@ -125,10 +140,11 @@ def run_finetune(args, detector_backend=None) -> Dict[str, float]:
     n_val = max(1, int(n * args.val_split)) if n > 1 else 0
     val_idx, train_idx = perm[:n_val].tolist(), perm[n_val:].tolist()
 
+    use_host_augment = not args.no_augment and not device_augment
     train_loader = BatchLoader(
         dataset, batch_size=args.batch_size, shuffle=True, seed=args.seed,
         indices=train_idx,
-        augment=None if args.no_augment else Augmentations(),
+        augment=Augmentations() if use_host_augment else None,
         train_mode_override=True,
     )
     val_loader = BatchLoader(
@@ -150,8 +166,13 @@ def run_finetune(args, detector_backend=None) -> Dict[str, float]:
         )
         if params is not None:
             state = state.replace(params=params, batch_stats=batch_stats)
+        aug_cfg = (
+            AugmentConfig()
+            if device_augment and not args.no_augment else None
+        )
         return optimizer, state, jax.jit(
-            make_train_step(model, optimizer, LossConfig())
+            make_train_step(model, optimizer, LossConfig(),
+                            augment_cfg=aug_cfg)
         )
 
     # Partial checkpoint load (shape mismatches keep fresh init).
@@ -189,7 +210,12 @@ def run_finetune(args, detector_backend=None) -> Dict[str, float]:
         t0 = time.time()
         losses, steps = [], 0
         for batch in train_loader:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                jb = mesh_lib.shard_batch(jb, mesh)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = train_step(state, jb)
             losses.append(float(metrics["loss"]))
             steps += 1

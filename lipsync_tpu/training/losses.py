@@ -36,9 +36,15 @@ def bce_with_logits(
 
 def _pooled_normalize(tokens: jnp.ndarray) -> jnp.ndarray:
     """Mean over time then L2-normalize (losses.py:40-41). Matches
-    ``F.normalize`` eps semantics (clamp norm at 1e-12)."""
+    ``F.normalize`` eps semantics (clamp norm at 1e-12).
+
+    Gradient-safe at zero: ``sqrt(max(sum(x^2), eps))`` keeps the backward
+    finite for an all-zero vector (d||x||/dx at 0 is NaN through a bare
+    norm; torch defines it as 0, and 0-vectors do occur — e.g. padded
+    rows or degenerate activations)."""
     pooled = jnp.mean(tokens, axis=1)
-    norm = jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+    sq = jnp.sum(pooled * pooled, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, 1e-24))
     return pooled / norm
 
 

@@ -24,6 +24,7 @@ import optax
 from flax import struct
 
 from lipsync_tpu.models.lip_sync_model import LipSyncModel
+from lipsync_tpu.ops.augment import AugmentConfig, augment_batch
 from lipsync_tpu.training.losses import (
     bce_with_logits,
     cross_modal_contrastive_loss,
@@ -72,9 +73,16 @@ def make_train_step(
     model: LipSyncModel,
     optimizer: optax.GradientTransformation,
     loss_cfg: LossConfig = LossConfig(),
+    augment_cfg: AugmentConfig | None = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
-    """Build the fused train step. ``batch`` holds ``visual`` (B,T,H,W,3),
-    ``audio`` (B,F,Ta,1), ``label`` (B,) with 1=REAL."""
+    """Build the fused train step. ``batch`` holds ``visual`` (B,T,H,W,3)
+    float [0,1] or uint8 pixels, ``audio`` (B,F,Ta,1), ``label`` (B,) with
+    1=REAL.
+
+    With ``augment_cfg``, the batch augments ON DEVICE inside the same
+    compiled program (`lipsync_tpu.ops.augment`): the host loader then
+    ships raw windows (uint8-transferable) and the one-core host stops
+    bounding training throughput."""
 
     shifts = [s for s in loss_cfg.sync_shift_frames if s != 0]
     shifts = jnp.asarray(shifts + [-s for s in shifts], jnp.int32)
@@ -142,7 +150,17 @@ def make_train_step(
         return loss, (mutated["batch_stats"], metrics)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        rng, dropout_rng, shift_rng = jax.random.split(state.rng, 3)
+        rng, dropout_rng, shift_rng, aug_rng = jax.random.split(state.rng, 4)
+        visual = batch["visual"]
+        if visual.dtype == jnp.uint8:
+            visual = visual.astype(jnp.float32) / 255.0
+        if augment_cfg is not None and augment_cfg.enabled:
+            visual, audio = augment_batch(
+                aug_rng, visual, batch["audio"], augment_cfg
+            )
+            batch = dict(batch, visual=visual, audio=audio)
+        else:
+            batch = dict(batch, visual=visual)
         shift = shifts[jax.random.randint(shift_rng, (), 0, shifts.shape[0])]
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lipsync_tpu.models import LipSyncModel, ModelConfig
+from lipsync_tpu.ops.augment import AugmentConfig
 from lipsync_tpu.parallel import mesh as mesh_lib
 from lipsync_tpu.training import checkpoints as ckpt_lib
 from lipsync_tpu.training.data import (
@@ -58,6 +59,8 @@ def phase_for_epoch(epoch: int, phase2_start: int, phase3_start: int) -> int:
 def make_eval_fn(model: LipSyncModel):
     @jax.jit
     def eval_step(params, batch_stats, visual, audio):
+        if visual.dtype == jnp.uint8:
+            visual = visual.astype(jnp.float32) / 255.0
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, visual, audio
         )
@@ -122,6 +125,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--early-stopping-patience", type=int, default=None)
     p.add_argument("--resume", type=Path, default=None)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--device-augment", action="store_true",
+                   help="Run augmentation ON DEVICE inside the jitted train "
+                        "step (lipsync_tpu.ops.augment) instead of on the "
+                        "host loader thread — removes the one-core host "
+                        "bottleneck at large data scales")
     p.add_argument("--no-face-detection", action="store_true")
     p.add_argument("--max-steps-per-epoch", type=int, default=None,
                    help="Debug cap on steps per epoch")
@@ -139,6 +147,7 @@ def run_training(args, detector_backend=None) -> Dict[str, float]:
     mesh = mesh_lib.make_mesh() if n_dev > 1 else None
     logger.info("Training on %d device(s)", n_dev)
 
+    device_augment = bool(getattr(args, "device_augment", False))
     dataset = LipSyncDataset(
         data_dir=args.data_dir,
         preprocessed_dir=args.preprocessed_dir,
@@ -146,6 +155,8 @@ def run_training(args, detector_backend=None) -> Dict[str, float]:
         audio_frames=args.audio_frames,
         detector_backend=detector_backend,
         require_face_detection=not args.no_face_detection,
+        # With device-side augmentation the host ships raw uint8 windows.
+        uint8_visual=device_augment,
     )
     n = len(dataset)
     rng = np.random.RandomState(args.seed)
@@ -155,10 +166,11 @@ def run_training(args, detector_backend=None) -> Dict[str, float]:
     logger.info("Dataset: %d samples (%d train / %d val)",
                 n, len(train_idx), len(val_idx))
 
+    use_host_augment = not args.no_augment and not device_augment
     train_loader = BatchLoader(
         dataset, batch_size=args.batch_size, shuffle=True, seed=args.seed,
         indices=train_idx,
-        augment=None if args.no_augment else Augmentations(),
+        augment=Augmentations() if use_host_augment else None,
         train_mode_override=True,
     )
     val_loader = BatchLoader(
@@ -184,7 +196,13 @@ def run_training(args, detector_backend=None) -> Dict[str, float]:
         )
         if params is not None:
             state = state.replace(params=params, batch_stats=batch_stats)
-        step = jax.jit(make_train_step(model, optimizer, loss_cfg))
+        aug_cfg = (
+            AugmentConfig()
+            if device_augment and not args.no_augment else None
+        )
+        step = jax.jit(
+            make_train_step(model, optimizer, loss_cfg, augment_cfg=aug_cfg)
+        )
         return optimizer, state, step
 
     start_epoch = 0

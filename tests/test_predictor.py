@@ -47,6 +47,41 @@ def test_engine_batch_consistency(tiny_engine, rng):
     assert np.all((batch >= 0) & (batch <= 1))
 
 
+def test_engine_double_buffered_streaming_matches_serialized(rng):
+    """score_logits with max_in_flight=2 over several max_batch groups
+    (incl. a ragged tail) equals the serialized max_in_flight=1 run and a
+    one-shot large-batch engine (round-3 double-buffer path)."""
+    model = LipSyncModel(TINY)
+    visual = np.zeros((1, 8, 32, 32, 3), np.float32)
+    audio = np.zeros((1, 80, 32, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), visual, audio)
+    v = rng.rand(11, 8, 32, 32, 3).astype(np.float32)
+    a = (rng.rand(11, 80, 32).astype(np.float32) * 60) - 60
+
+    buffered = ScoringEngine(
+        variables, TINY, use_bfloat16=False, max_batch=4, max_in_flight=2
+    )
+    serialized = ScoringEngine(
+        variables, TINY, use_bfloat16=False, max_batch=4, max_in_flight=1
+    )
+    wide = ScoringEngine(variables, TINY, use_bfloat16=False, max_batch=16)
+    lb = buffered.score_logits(v, a)
+    ls = serialized.score_logits(v, a)
+    lw = wide.score_logits(v, a)
+    assert lb.shape == (11,)
+    np.testing.assert_allclose(lb, ls, atol=1e-6)
+    np.testing.assert_allclose(lb, lw, atol=2e-5)
+
+    # Track path: 9 windows over max_batch=4 -> 3 pipelined groups.
+    crops = rng.randint(0, 255, (16, 32, 32, 3)).astype(np.uint8)
+    starts = list(range(9))
+    aw = (rng.rand(9, 80, 32).astype(np.float32) * 60) - 60
+    tb = buffered.score_track_logits(crops, starts, aw)
+    ts = serialized.score_track_logits(crops, starts, aw)
+    assert tb.shape == (9,)
+    np.testing.assert_allclose(tb, ts, atol=1e-6)
+
+
 def test_engine_calibration_applied(tiny_engine, rng):
     v = rng.rand(2, 8, 32, 32, 3).astype(np.float32)
     a = (rng.rand(2, 80, 32).astype(np.float32) * 60) - 60

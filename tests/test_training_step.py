@@ -111,6 +111,27 @@ def test_train_step_ragged_batch_pads_and_shards(rng):
     assert int(state.step) == 1
 
 
+def test_contrastive_grads_finite_at_zero_tokens():
+    """d||x||/dx at x=0 is NaN through a bare norm; the losses must keep
+    gradients finite on all-zero tokens (torch F.normalize semantics —
+    round-3 regression caught by the dryrun serving check)."""
+    v = jnp.zeros((4, 5, 16))
+    a = jnp.zeros((4, 5, 16))
+    lab = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+
+    g = jax.grad(
+        lambda vv: cross_modal_contrastive_loss(vv, a, lab)
+    )(v)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    g2 = jax.grad(
+        lambda vv: sync_contrastive_loss(
+            vv, a, [a], real_mask=lab >= 0.5
+        )
+    )(v)
+    assert np.all(np.isfinite(np.asarray(g2)))
+
+
 def test_masked_losses_match_unpadded(rng):
     """Pad rows with mask=0 contribute nothing: padded loss == unpadded."""
     v = rng.randn(5, 4, 16).astype(np.float32)
