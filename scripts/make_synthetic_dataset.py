@@ -37,6 +37,182 @@ def speech_envelope(seconds: float, sr: int, rng) -> np.ndarray:
     return env
 
 
+# ── phoneme-style articulation (round-3 generator v2) ───────────────────
+#
+# Vowel inventory: each vowel fixes BOTH the mouth geometry (relative
+# height, width, lip rounding) and the spectral envelope (formants F1/F2).
+# The audio-visual correspondence is therefore shape <-> spectrum, not just
+# openness <-> loudness — a detector must read articulation, and fakes can
+# be built that match loudness perfectly while mismatching the phonetics
+# (``vowel-scramble``), the failure mode envelope-only synthesis can't
+# express. Formant values are the classic Peterson-Barney style averages.
+VOWELS = {
+    #        height width round   F1    F2
+    "a": (1.00, 0.75, 0.0, 800.0, 1200.0),
+    "e": (0.55, 0.90, 0.0, 500.0, 1900.0),
+    "i": (0.25, 1.00, 0.0, 300.0, 2300.0),
+    "o": (0.65, 0.55, 0.6, 500.0, 900.0),
+    "u": (0.30, 0.45, 1.0, 320.0, 800.0),
+}
+
+
+def sample_syllables(seconds: float, rng) -> list:
+    """Random syllable stream: (t_start, t_end, vowel, stress) tuples with
+    150-350 ms nuclei separated by 40-150 ms closures."""
+    out = []
+    t = rng.uniform(0.02, 0.2)
+    vowel_names = sorted(VOWELS)
+    while t < seconds - 0.1:
+        dur = rng.uniform(0.15, 0.35)
+        v = vowel_names[rng.randint(len(vowel_names))]
+        stress = rng.uniform(0.6, 1.0)
+        out.append((t, min(t + dur, seconds), v, stress))
+        t += dur + rng.uniform(0.04, 0.15)
+    return out
+
+
+def phoneme_tracks(
+    syllables: list, seconds: float, sr: int, rng
+) -> tuple:
+    """Per-sample articulation tracks at audio rate.
+
+    Returns (openness, width, rounding, f1, f2, voiced) arrays of length
+    ``seconds * sr``: openness/width drive the mouth drawing, f1/f2 the
+    spectral envelope, voiced the amplitude. Onsets/offsets are smoothed
+    ~30 ms so both modalities move continuously (coarticulation blur).
+    """
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    openness = np.zeros(n)
+    width = np.full(n, 0.6)
+    rounding = np.zeros(n)
+    f1 = np.full(n, 500.0)
+    f2 = np.full(n, 1500.0)
+    voiced = np.zeros(n)
+    for (t0, t1, v, stress) in syllables:
+        h, w, r, ff1, ff2 = VOWELS[v]
+        mask = (t >= t0) & (t < t1)
+        # Rise/fall within the syllable nucleus.
+        local = (t[mask] - t0) / max(t1 - t0, 1e-6)
+        bump = np.sin(np.pi * np.clip(local, 0, 1))
+        openness[mask] = h * stress * (0.35 + 0.65 * bump)
+        width[mask] = w
+        rounding[mask] = r
+        f1[mask] = ff1
+        f2[mask] = ff2
+        voiced[mask] = stress * (0.25 + 0.75 * bump)
+    # ~30 ms box smoothing: coarticulation + continuous mouth motion.
+    k = max(1, int(0.03 * sr))
+    kernel = np.ones(k) / k
+    sm = lambda x: np.convolve(x, kernel, mode="same")  # noqa: E731
+    return sm(openness), sm(width), sm(rounding), sm(f1), sm(f2), sm(voiced)
+
+
+def synth_phoneme_audio(
+    f1: np.ndarray, f2: np.ndarray, voiced: np.ndarray, sr: int, rng
+) -> np.ndarray:
+    """Formant-weighted harmonic stack: each harmonic of a vibrato'd f0 is
+    weighted by Gaussian formant bumps at the (time-varying) F1/F2."""
+    n = len(voiced)
+    t = np.arange(n) / sr
+    f0 = rng.uniform(110, 220) * (
+        1.0 + 0.03 * np.sin(2 * np.pi * rng.uniform(0.3, 0.8) * t
+                            + rng.uniform(0, 6))
+    )
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    pcm = np.zeros(n)
+    for k in range(1, 13):
+        fk = k * f0
+        w = (
+            np.exp(-0.5 * ((fk - f1) / 130.0) ** 2)
+            + 0.7 * np.exp(-0.5 * ((fk - f2) / 180.0) ** 2)
+            + 0.08 / k
+        )
+        pcm += w * np.sin(k * phase)
+    pcm = pcm / max(np.abs(pcm).max(), 1e-6)
+    pcm = (pcm * voiced * 0.5).astype(np.float32)
+    pcm += rng.randn(n).astype(np.float32) * 5e-4
+    return pcm
+
+
+def render_phoneme_clip(
+    openness: np.ndarray,
+    width: np.ndarray,
+    rounding: np.ndarray,
+    pcm: np.ndarray,
+    seconds: float,
+    fps: float,
+    sr: int,
+    rng,
+    h: int = 140,
+    w: int = 180,
+    jitter: bool = False,
+    head_motion: bool = True,
+) -> np.ndarray:
+    """Frames whose mouth SHAPE follows the articulation tracks: tall/open
+    for /a/, wide/flat for /i/, small/round for /u/. Optional slow head
+    drift exercises the tracker and breaks static-pixel memorization."""
+    n_frames = int(seconds * fps)
+    n_samples = len(openness)
+    yy, xx = np.mgrid[0:h, 0:w]
+    if jitter:
+        cy0 = h // 2 + int(rng.uniform(-0.10, 0.10) * h)
+        cx0 = w // 2 + int(rng.uniform(-0.12, 0.12) * w)
+        scale = rng.uniform(0.75, 1.2)
+        skin = np.asarray((200, 168, 150)) * rng.uniform(0.6, 1.1)
+        lip = np.asarray((80, 25, 25)) * rng.uniform(0.7, 1.3)
+        noise_hi = rng.randint(15, 45)
+    else:
+        cy0, cx0, scale = h // 2, w // 2, 1.0
+        skin, lip = np.asarray((200, 168, 150)), np.asarray((80, 25, 25))
+        noise_hi = 30
+    skin = tuple(int(c) for c in skin)
+    lip = tuple(int(c) for c in lip)
+    mouth_interior = tuple(int(c * 0.4) for c in lip)
+    drift_f = rng.uniform(0.1, 0.4)
+    drift_ph = rng.uniform(0, 2 * np.pi, size=2)
+    drift_amp = (0.03 * w, 0.02 * h) if head_motion else (0.0, 0.0)
+
+    frames = np.empty((n_frames, h, w, 3), np.uint8)
+    base = rng.randint(0, noise_hi, size=(h, w, 3)).astype(np.uint8)
+    idx = np.minimum(
+        (np.arange(n_frames) * sr / fps).astype(int), n_samples - 1
+    )
+    eye_dx = int(w * scale) // 9
+    for i in range(n_frames):
+        ft = i / fps
+        cx = cx0 + int(drift_amp[0] * np.sin(2 * np.pi * drift_f * ft
+                                             + drift_ph[0]))
+        cy = cy0 + int(drift_amp[1] * np.sin(2 * np.pi * drift_f * 0.7 * ft
+                                             + drift_ph[1]))
+        img = base.copy()
+        face = (
+            ((yy - cy) / (h * 0.32 * scale)) ** 2
+            + ((xx - cx) / (w * 0.24 * scale)) ** 2
+        ) < 1
+        img[face] = skin
+        for ex in (cx - eye_dx, cx + eye_dx):
+            eye = (
+                (yy - (cy - int(h * scale) // 7)) ** 2 + (xx - ex) ** 2
+            ) < (h * 0.035 * scale) ** 2
+            img[eye] = (40, 30, 30)
+        o, ww, rr = openness[idx[i]], width[idx[i]], rounding[idx[i]]
+        my = cy + int(h * scale) // 5
+        # Lip ellipse: half-axes from articulation (round vowels narrow).
+        ax = max(3.0, w * scale * (0.055 + 0.075 * ww) * (1.0 - 0.35 * rr))
+        ay = max(2.0, h * scale * (0.018 + 0.085 * o))
+        lips = (((yy - my) / ay) ** 2 + ((xx - cx) / ax) ** 2) < 1
+        img[lips] = lip
+        # Open-mouth interior: darker inner ellipse when open enough.
+        if o > 0.18:
+            iy = max(1.0, ay * 0.55)
+            ix = max(2.0, ax * 0.7)
+            inner = (((yy - my) / iy) ** 2 + ((xx - cx) / ix) ** 2) < 1
+            img[inner] = mouth_interior
+        frames[i] = img
+    return frames
+
+
 def render_clip(
     envelope_video: np.ndarray,
     envelope_audio: np.ndarray,
@@ -111,6 +287,56 @@ def render_clip(
     return frames, pcm
 
 
+def _scramble_vowels(syllables: list, rng) -> list:
+    """Same timing/stress, different vowels — matches loudness exactly
+    while mismatching shapes and spectra (the pure-phonetic fake)."""
+    names = sorted(VOWELS)
+    out = []
+    for (t0, t1, v, stress) in syllables:
+        others = [x for x in names if x != v]
+        out.append((t0, t1, others[rng.randint(len(others))], stress))
+    return out
+
+
+def write_phoneme_pair(
+    args, rng, real_dir: Path, fake_dir: Path, i: int
+) -> None:
+    """One real + one fake phoneme-style clip. Fake modes cycle:
+    time-shift (same articulation, audio delayed 0.25-0.8 s), audio-swap
+    (independent clip's audio), vowel-scramble (same timing, different
+    vowels — loudness-matched)."""
+    sr, fps, seconds = args.sr, args.fps, args.seconds
+    syl = sample_syllables(seconds, rng)
+    o, w_, r, f1, f2, voiced = phoneme_tracks(syl, seconds, sr, rng)
+    pcm = synth_phoneme_audio(f1, f2, voiced, sr, rng)
+    frames = render_phoneme_clip(
+        o, w_, r, pcm, seconds, fps, sr, rng,
+        jitter=args.jitter, head_motion=not args.no_head_motion,
+    )
+    write_video(real_dir / f"real_{i:04d}.avi", frames, fps, pcm, sr)
+
+    mode = ("shift", "swap", "scramble")[i % 3] if args.hard_negatives \
+        else "swap"
+    syl_a = sample_syllables(seconds, rng)
+    oa, wa, ra, f1a, f2a, va = phoneme_tracks(syl_a, seconds, sr, rng)
+    pcm_a = synth_phoneme_audio(f1a, f2a, va, sr, rng)
+    if mode == "shift":
+        shift = int(rng.uniform(0.25, 0.8) * sr)
+        ov, wv, rv = (np.roll(x, shift) for x in (oa, wa, ra))
+    elif mode == "scramble":
+        ov, wv, rv, _, _, _ = phoneme_tracks(
+            _scramble_vowels(syl_a, rng), seconds, sr, rng
+        )
+    else:  # swap: visual from an independent articulation stream
+        syl_b = sample_syllables(seconds, rng)
+        ov, wv, rv, _, _, _ = phoneme_tracks(syl_b, seconds, sr, rng)
+    frames = render_phoneme_clip(
+        ov, wv, rv, pcm_a, seconds, fps, sr, rng,
+        jitter=args.jitter, head_motion=not args.no_head_motion,
+    )
+    write_video(fake_dir / f"fake_{i:04d}.avi", frames, fps, pcm_a, sr)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--output-dir", type=Path, required=True)
@@ -122,9 +348,16 @@ def main(argv=None) -> int:
     p.add_argument("--jitter", action="store_true",
                    help="Randomize face position/scale/colors per clip")
     p.add_argument("--hard-negatives", action="store_true",
-                   help="Half the fakes use the SAME envelope time-shifted "
-                        "0.25-0.8 s (misaligned lip-sync, the canonical "
-                        "manipulation) instead of an independent envelope")
+                   help="envelope style: half the fakes use the SAME "
+                        "envelope time-shifted 0.25-0.8 s. phoneme style: "
+                        "fakes cycle shift/swap/vowel-scramble modes")
+    p.add_argument("--style", choices=("envelope", "phoneme"),
+                   default="envelope",
+                   help="envelope: mouth height tracks loudness (round-2 "
+                        "generator). phoneme: vowel-structured articulation"
+                        " — mouth SHAPE tracks formant content (round-3)")
+    p.add_argument("--no-head-motion", action="store_true",
+                   help="phoneme style: disable the slow head drift")
     args = p.parse_args(argv)
 
     real_dir = args.output_dir / "0_real"
@@ -132,6 +365,13 @@ def main(argv=None) -> int:
     real_dir.mkdir(parents=True, exist_ok=True)
     fake_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.RandomState(args.seed)
+
+    if args.style == "phoneme":
+        for i in range(args.n_per_class):
+            write_phoneme_pair(args, rng, real_dir, fake_dir, i)
+        print(f"Wrote {args.n_per_class} real + {args.n_per_class} fake "
+              f"phoneme-style clips to {args.output_dir}")
+        return 0
 
     for i in range(args.n_per_class):
         env = speech_envelope(args.seconds, args.sr, rng)
