@@ -47,6 +47,10 @@ class TemporalInconsistencyDetector(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # The input is the encoder feature map: T x 3 x 3 spatial. XLA's
+        # conv emitter hits ~0.10 MFU on 3x3x3 kernels over a 3x3 map
+        # (round-2 profile); shift_matmul lowering runs the same math as
+        # 27 MXU matmuls (layers.ShiftMatmulConv — param-compatible).
         out = ConvBNAct(
             self.feature_dim // 2,
             kernel_size=(3, 3, 3),
@@ -54,6 +58,7 @@ class TemporalInconsistencyDetector(nn.Module):
             padding=((1, 1),) * 3,
             use_bias=True,
             dtype=self.dtype,
+            lowering="shift_matmul",
             name="conv1",
         )(x, train=train)
         out = ConvBNAct(
@@ -63,6 +68,7 @@ class TemporalInconsistencyDetector(nn.Module):
             padding=((1, 1),) * 3,
             use_bias=True,
             dtype=self.dtype,
+            lowering="shift_matmul",
             name="conv2",
         )(out, train=train)
         return jnp.mean(out, axis=(1, 2, 3))  # (B, D/4)

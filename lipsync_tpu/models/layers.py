@@ -12,6 +12,7 @@ bit-comparable in eval mode.
 
 from __future__ import annotations
 
+import itertools
 from typing import Any, Callable, Sequence, Tuple
 
 import jax
@@ -26,11 +27,72 @@ def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     return nn.gelu(x, approximate=False)
 
 
+class ShiftMatmulConv(nn.Module):
+    """Stride-1 N-D convolution lowered as shift-and-accumulate matmuls.
+
+    XLA's TPU conv emitter tiles poorly when the spatial extent is tiny
+    relative to the kernel (the artifact branch runs 3x3x3 convs over a
+    3x3 feature map — measured 0.10 MFU, BENCHMARKS.md round-2 profile).
+    Summing ``prod(kernel_size)`` shifted views, each contracted with its
+    kernel tap as a plain (voxels, C_in) @ (C_in, C_out) matmul, keeps the
+    identical math (same FLOPs, no im2col materialization) but maps every
+    tap straight onto the MXU.
+
+    Parameter-compatible with ``nn.Conv``: params are ``kernel`` of shape
+    ``(*kernel_size, C_in, features)`` and ``bias`` — checkpoints swap
+    between lowerings freely.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    padding: Sequence[Tuple[int, int]]
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ks = tuple(self.kernel_size)
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (*ks, c_in, self.features)
+        )
+        kernel = kernel.astype(self.dtype)
+        xp = jnp.pad(
+            x.astype(self.dtype),
+            ((0, 0),) + tuple(self.padding) + ((0, 0),),
+        )
+        out_shape = tuple(
+            xp.shape[1 + i] - ks[i] + 1 for i in range(len(ks))
+        )
+        out = None
+        for taps in itertools.product(*(range(k) for k in ks)):
+            sl = xp[
+                (slice(None),)
+                + tuple(
+                    slice(t, t + out_shape[i]) for i, t in enumerate(taps)
+                )
+                + (slice(None),)
+            ]
+            w = kernel[taps]  # (C_in, features)
+            contrib = jnp.matmul(sl, w)
+            out = contrib if out is None else out + contrib
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class ConvBNAct(nn.Module):
     """Conv -> BatchNorm -> activation, N-dimensional (channels-last).
 
     Mirrors `_Conv3dBNReLU` / `_ConvBNReLU` in the reference
     (visual_encoder.py:7-31, audio_encoder.py:7-31).
+
+    ``lowering="shift_matmul"`` routes the conv through
+    :class:`ShiftMatmulConv` (identical params/math; MXU-friendly for
+    tiny-spatial inputs). Requires stride 1.
     """
 
     features: int
@@ -40,18 +102,32 @@ class ConvBNAct(nn.Module):
     use_bias: bool = False
     act: Callable[[jnp.ndarray], jnp.ndarray] | None = nn.relu
     dtype: Dtype = jnp.float32
+    lowering: str = "conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features,
-            kernel_size=tuple(self.kernel_size),
-            strides=tuple(self.strides),
-            padding=tuple(self.padding),
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.lowering == "shift_matmul":
+            assert all(s == 1 for s in self.strides), (
+                "shift_matmul lowering supports stride 1 only"
+            )
+            x = ShiftMatmulConv(
+                self.features,
+                kernel_size=tuple(self.kernel_size),
+                padding=tuple(self.padding),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=tuple(self.kernel_size),
+                strides=tuple(self.strides),
+                padding=tuple(self.padding),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

@@ -75,6 +75,14 @@ def main(argv=None) -> int:
                         "default 15 assumes 50K-clip epochs; small synthetic "
                         "runs want 0)")
     p.add_argument("--lr-encoder", type=float, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--device-augment", action="store_true",
+                   help="augment on device inside the jitted step (uint8 "
+                        "host transfers; removes the 1-core host bottleneck)")
+    p.add_argument("--style", choices=("envelope", "phoneme"),
+                   default="envelope",
+                   help="synthetic articulation style (phoneme = round-3 "
+                        "vowel-shaped mouths + formant audio)")
     p.add_argument("--no-hard-negatives", action="store_true",
                    help="fakes all use independent envelopes (middle "
                         "difficulty: cross-clip sync learning without the "
@@ -93,7 +101,8 @@ def main(argv=None) -> int:
                                ("test", args.n_test, 13)):
             cmd = [py, "scripts/make_synthetic_dataset.py",
                    "--output-dir", w / f"raw_{split}", "--n-per-class", n,
-                   "--seconds", args.seconds, "--seed", seed]
+                   "--seconds", args.seconds, "--seed", seed,
+                   "--style", args.style]
             if not args.no_jitter:
                 cmd.append("--jitter")
             if not args.no_hard_negatives:
@@ -129,6 +138,10 @@ def main(argv=None) -> int:
                     "--phase3-start-epoch", args.phase3_start_epoch]
         if args.lr_encoder is not None:
             cmd += ["--lr-encoder", args.lr_encoder]
+        if args.lr is not None:
+            cmd += ["--lr", args.lr]
+        if args.device_augment:
+            cmd.append("--device-augment")
         run(cmd, logs / "train.log")
     best = weights / "best_model_accuracy"
 

@@ -168,3 +168,28 @@ def test_pallas_mel_matches_xla(rng):
     )
     assert ours.shape == ref.shape
     assert np.abs(ours - ref).max() < 1e-3  # dB
+
+
+def test_shift_matmul_conv_matches_nn_conv(rng):
+    """ShiftMatmulConv is bit-comparable to nn.Conv with shared params at
+    the artifact-branch geometry (3x3x3 kernel over a T x 3 x 3 map)."""
+    import jax
+    from flax import linen as nn
+
+    from lipsync_tpu.models.layers import ShiftMatmulConv
+
+    x = jnp.asarray(rng.randn(2, 8, 3, 3, 16), jnp.float32)
+    ref_mod = nn.Conv(8, kernel_size=(3, 3, 3), strides=(1, 1, 1),
+                      padding=((1, 1),) * 3, use_bias=True)
+    sm_mod = ShiftMatmulConv(8, kernel_size=(3, 3, 3),
+                             padding=((1, 1),) * 3, use_bias=True)
+    variables = ref_mod.init(jax.random.PRNGKey(0), x)
+    ref = ref_mod.apply(variables, x)
+    got = sm_mod.apply(variables, x)  # same param tree: kernel + bias
+    assert got.shape == ref.shape
+    with jax.default_matmul_precision("highest"):
+        got_hp = sm_mod.apply(variables, x)
+        ref_hp = ref_mod.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got_hp), np.asarray(ref_hp),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-2)
