@@ -96,6 +96,11 @@ class AppState:
         if load_model and self.predictor is None:
             try:
                 from lipsync_tpu.inference.predictor import Predictor
+                from lipsync_tpu.utils.device import (
+                    enable_persistent_compilation_cache,
+                )
+
+                enable_persistent_compilation_cache()
 
                 self.predictor = Predictor(
                     model_path=self.settings.model_path,

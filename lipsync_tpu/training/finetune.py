@@ -110,6 +110,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def run_finetune(args, detector_backend=None) -> Dict[str, float]:
+    from lipsync_tpu.utils.device import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     cfg = ModelConfig(
         video_frames=args.video_frames,
         crop_size=args.crop_size,
