@@ -150,14 +150,18 @@ def main() -> None:
     link_mbps = _probe_host_link(jax.devices()[0]) if on_tpu else 0.0
 
     # ---- engine path (host numpy in, host numpy out) ----------------------
+    # 4 max_batch groups so the double-buffered streaming in score_logits
+    # (group k+1 uploads while group k computes, engine.max_in_flight) is
+    # actually exercised — a single group has nothing to overlap with.
     _progress("engine path")
     engine = ScoringEngine(variables, cfg, max_batch=engine_batch)
-    veh, aeh = host_inputs(engine_batch)
+    engine_windows = 4 * engine_batch
+    veh, aeh = host_inputs(engine_windows)
     veh = (veh * 255.0).astype(np.uint8)
     p50_engine = _measure(
         engine.score_logits, veh, aeh, iters=max(3, iters // 4)
     )
-    engine_wps = engine_batch / p50_engine
+    engine_wps = engine_windows / p50_engine
     engine_mfu = (
         (flops_per_window * engine_wps / peak) if peak and flops_batch else 0.0
     )

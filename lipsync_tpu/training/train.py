@@ -81,7 +81,7 @@ def validate(
             eval_fn(state.params, state.batch_stats,
                     jnp.asarray(batch["visual"]), jnp.asarray(batch["audio"]))
         )
-        labels = batch["label"]
+        labels = np.asarray(batch["label"])
         losses.append(
             float(bce_with_logits(jnp.asarray(logits), jnp.asarray(labels)))
         )
@@ -131,6 +131,19 @@ def build_argparser() -> argparse.ArgumentParser:
                         "host loader thread — removes the one-core host "
                         "bottleneck at large data scales")
     p.add_argument("--no-face-detection", action="store_true")
+    p.add_argument("--device-cache", action="store_true",
+                   help="Upload the whole preprocessed full_sequence "
+                        "corpus to device memory once and gather training "
+                        "windows ON DEVICE (training/device_cache.py): the "
+                        "host ships only per-batch int32 index arrays, so "
+                        "epochs stop being bound by the host link. Implies "
+                        "--device-augment. Needs the corpus to fit in HBM "
+                        "(~10 GB cap)")
+    p.add_argument("--no-artifact-branch", action="store_true",
+                   help="Train without the artifact detector "
+                        "(ModelConfig.detect_artifacts=False — the "
+                        "reference's detect_artifacts=True kwarg, "
+                        "lip_sync_model.py:38; ablation diagnostics)")
     p.add_argument("--max-steps-per-epoch", type=int, default=None,
                    help="Debug cap on steps per epoch")
     return p
@@ -144,13 +157,17 @@ def run_training(args, detector_backend=None) -> Dict[str, float]:
         video_frames=args.video_frames,
         crop_size=args.crop_size,
         audio_frames=args.audio_frames,
+        detect_artifacts=not getattr(args, "no_artifact_branch", False),
     )
     model = LipSyncModel(cfg)
     n_dev = len(jax.devices())
     mesh = mesh_lib.make_mesh() if n_dev > 1 else None
     logger.info("Training on %d device(s)", n_dev)
 
-    device_augment = bool(getattr(args, "device_augment", False))
+    use_device_cache = bool(getattr(args, "device_cache", False))
+    device_augment = (
+        bool(getattr(args, "device_augment", False)) or use_device_cache
+    )
     dataset = LipSyncDataset(
         data_dir=args.data_dir,
         preprocessed_dir=args.preprocessed_dir,
@@ -169,17 +186,31 @@ def run_training(args, detector_backend=None) -> Dict[str, float]:
     logger.info("Dataset: %d samples (%d train / %d val)",
                 n, len(train_idx), len(val_idx))
 
-    use_host_augment = not args.no_augment and not device_augment
-    train_loader = BatchLoader(
-        dataset, batch_size=args.batch_size, shuffle=True, seed=args.seed,
-        indices=train_idx,
-        augment=Augmentations() if use_host_augment else None,
-        train_mode_override=True,
-    )
-    val_loader = BatchLoader(
-        dataset, batch_size=args.batch_size, shuffle=False,
-        indices=val_idx, train_mode_override=False,
-    )
+    cache = None
+    if use_device_cache:
+        if not dataset.use_preprocessed:
+            raise SystemExit("--device-cache requires --preprocessed-dir")
+        if mesh is not None and args.batch_size % n_dev != 0:
+            raise SystemExit(
+                f"--device-cache with a {n_dev}-device mesh needs "
+                f"--batch-size divisible by {n_dev}"
+            )
+        from lipsync_tpu.training.device_cache import DeviceDatasetCache
+
+        cache = DeviceDatasetCache(dataset, mesh=mesh)
+        train_loader = val_loader = None
+    else:
+        use_host_augment = not args.no_augment and not device_augment
+        train_loader = BatchLoader(
+            dataset, batch_size=args.batch_size, shuffle=True,
+            seed=args.seed, indices=train_idx,
+            augment=Augmentations() if use_host_augment else None,
+            train_mode_override=True,
+        )
+        val_loader = BatchLoader(
+            dataset, batch_size=args.batch_size, shuffle=False,
+            indices=val_idx, train_mode_override=False,
+        )
 
     loss_cfg = LossConfig(
         contrastive_weight=args.contrastive_weight,
@@ -256,8 +287,20 @@ def run_training(args, detector_backend=None) -> Dict[str, float]:
 
         t0 = time.time()
         losses, accs, steps = [], [], 0
-        for batch in train_loader:
-            if mesh is not None:
+        if cache is not None:
+            # Per-epoch host RNG: only (batch,) index/start arrays cross
+            # the host link; windows gather on device.
+            batch_iter = cache.batches(
+                train_idx, args.batch_size,
+                rng=np.random.RandomState(args.seed * 100003 + epoch),
+                train_mode=True,
+            )
+        else:
+            batch_iter = train_loader
+        for batch in batch_iter:
+            if cache is not None:
+                jb = batch  # already on device (padded/masked/sharded)
+            elif mesh is not None:
                 batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
                 jb = {k: jnp.asarray(v) for k, v in batch.items()}
                 jb = mesh_lib.shard_batch(jb, mesh)
@@ -275,7 +318,11 @@ def run_training(args, detector_backend=None) -> Dict[str, float]:
         train_loss = float(np.mean(losses)) if losses else 0.0
         train_acc = float(np.mean(accs)) if accs else 0.0
 
-        val = validate(eval_fn, state, val_loader) if val_idx else {
+        val_iter = (
+            cache.batches(val_idx, args.batch_size, train_mode=False)
+            if cache is not None else val_loader
+        )
+        val = validate(eval_fn, state, val_iter) if val_idx else {
             "loss": train_loss, "accuracy": train_acc,
             "real_accuracy": 0.0, "fake_accuracy": 0.0,
         }
