@@ -162,8 +162,6 @@ class DeviceDatasetCache:
         res_idx = jnp.asarray(
             np.linspace(0, mel_len - 1, self.audio_frames).astype(np.int32)
         )
-        visual_cache, audio_cache = self._visual, self._audio
-        labels_cache, a_len_cache = self._labels, self._a_len
 
         def one(vis_clip, aud_clip, start, a_len):
             v = jax.lax.dynamic_slice(
@@ -177,33 +175,51 @@ class DeviceDatasetCache:
             a = jax.lax.dynamic_slice(aud_clip, (0, ms), (80, mel_len))
             return v, a[:, res_idx]
 
-        def gather(idx, starts, mask):
+        # The cache arrays MUST be jit arguments, not closure captures: a
+        # captured jax.Array is lowered as an embedded CONSTANT, so the
+        # whole corpus (GBs) would be serialized into the program — fatal
+        # through a remote compile service. As parameters the program
+        # only references them; the call passes the same device-resident
+        # buffers each step, zero-copy.
+        def gather(visual, audio, labels, a_len_all, idx, starts, mask):
             v, a = jax.vmap(one)(
-                visual_cache[idx], audio_cache[idx], starts,
-                a_len_cache[idx],
+                visual[idx], audio[idx], starts, a_len_all[idx],
             )
             batch = {
                 "visual": v,
                 "audio": a[..., None],
-                "label": labels_cache[idx],
+                "label": labels[idx],
             }
             if mask is not None:
                 batch["sample_mask"] = mask
             return batch
 
-        plain = jax.jit(gather)
+        plain_fn = jax.jit(gather)
+
+        def plain(idx, starts, mask):
+            return plain_fn(self._visual, self._audio, self._labels,
+                            self._a_len, idx, starts, mask)
+
         if self._batch_sharding is None:
             return plain, plain
         sharding = self._batch_sharding
 
-        def sharded_gather(idx, starts, mask):
-            out = gather(idx, starts, mask)
+        def sharded_gather(visual, audio, labels, a_len_all, idx, starts,
+                           mask):
+            out = gather(visual, audio, labels, a_len_all, idx, starts,
+                         mask)
             return {
                 k: jax.lax.with_sharding_constraint(x, sharding)
                 for k, x in out.items()
             }
 
-        return plain, jax.jit(sharded_gather)
+        sharded_fn = jax.jit(sharded_gather)
+
+        def sharded(idx, starts, mask):
+            return sharded_fn(self._visual, self._audio, self._labels,
+                              self._a_len, idx, starts, mask)
+
+        return plain, sharded
 
     # ── batch iteration ──────────────────────────────────────────────────
 

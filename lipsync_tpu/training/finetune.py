@@ -105,6 +105,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(lipsync_tpu.ops.augment) instead of the host "
                         "loader thread")
     p.add_argument("--no-face-detection", action="store_true")
+    p.add_argument("--device-cache", action="store_true",
+                   help="Upload the whole preprocessed full_sequence "
+                        "corpus to device memory once and gather finetune "
+                        "windows ON DEVICE (training/device_cache.py); the "
+                        "host ships only per-batch int32 index arrays. "
+                        "Implies --device-augment; needs --preprocessed-dir "
+                        "and a corpus that fits in HBM (~10 GB cap)")
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
     return p
 
@@ -127,7 +134,10 @@ def run_finetune(args, detector_backend=None) -> Dict[str, float]:
     mesh = mesh_lib.make_mesh() if n_dev > 1 else None
     logger.info("Finetuning on %d device(s)", n_dev)
 
-    device_augment = bool(getattr(args, "device_augment", False))
+    use_device_cache = bool(getattr(args, "device_cache", False))
+    device_augment = (
+        bool(getattr(args, "device_augment", False)) or use_device_cache
+    )
     dataset = LipSyncDataset(
         data_dir=args.data_dir,
         preprocessed_dir=args.preprocessed_dir,
@@ -143,17 +153,38 @@ def run_finetune(args, detector_backend=None) -> Dict[str, float]:
     n_val = max(1, int(n * args.val_split)) if n > 1 else 0
     val_idx, train_idx = perm[:n_val].tolist(), perm[n_val:].tolist()
 
-    use_host_augment = not args.no_augment and not device_augment
-    train_loader = BatchLoader(
-        dataset, batch_size=args.batch_size, shuffle=True, seed=args.seed,
-        indices=train_idx,
-        augment=Augmentations() if use_host_augment else None,
-        train_mode_override=True,
-    )
-    val_loader = BatchLoader(
-        dataset, batch_size=args.batch_size, shuffle=False, indices=val_idx,
-        train_mode_override=False,
-    )
+    cache = None
+    if use_device_cache:
+        if not dataset.use_preprocessed:
+            raise SystemExit("--device-cache requires --preprocessed-dir")
+        if mesh is not None and args.batch_size % n_dev != 0:
+            raise SystemExit(
+                f"--device-cache with a {n_dev}-device mesh needs "
+                f"--batch-size divisible by {n_dev}"
+            )
+        from lipsync_tpu.training.device_cache import DeviceDatasetCache
+
+        cache = DeviceDatasetCache(dataset, mesh=mesh)
+        train_loader = val_loader = None
+    else:
+        use_host_augment = not args.no_augment and not device_augment
+        train_loader = BatchLoader(
+            dataset, batch_size=args.batch_size, shuffle=True,
+            seed=args.seed, indices=train_idx,
+            augment=Augmentations() if use_host_augment else None,
+            train_mode_override=True,
+        )
+        val_loader = BatchLoader(
+            dataset, batch_size=args.batch_size, shuffle=False,
+            indices=val_idx, train_mode_override=False,
+        )
+
+    def val_batches():
+        """Fresh eval-mode iterator (validate + collect_val_probs each
+        consume one; cache.batches generators are one-shot)."""
+        if cache is not None:
+            return cache.batches(val_idx, args.batch_size, train_mode=False)
+        return val_loader
 
     def build(phase: int, params=None, batch_stats=None):
         optimizer = make_phase_optimizer(
@@ -212,8 +243,18 @@ def run_finetune(args, detector_backend=None) -> Dict[str, float]:
 
         t0 = time.time()
         losses, steps = [], 0
-        for batch in train_loader:
-            if mesh is not None:
+        if cache is not None:
+            batch_iter = cache.batches(
+                train_idx, args.batch_size,
+                rng=np.random.RandomState(args.seed * 100003 + epoch),
+                train_mode=True,
+            )
+        else:
+            batch_iter = train_loader
+        for batch in batch_iter:
+            if cache is not None:
+                jb = batch  # already on device (padded/masked/sharded)
+            elif mesh is not None:
                 batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
                 jb = {k: jnp.asarray(v) for k, v in batch.items()}
                 jb = mesh_lib.shard_batch(jb, mesh)
@@ -229,11 +270,11 @@ def run_finetune(args, detector_backend=None) -> Dict[str, float]:
                 break
         train_loss = float(np.mean(losses)) if losses else 0.0
 
-        val = validate(eval_fn, state, val_loader) if val_idx else {
+        val = validate(eval_fn, state, val_batches()) if val_idx else {
             "loss": train_loss, "accuracy": 0.0,
             "real_accuracy": 0.0, "fake_accuracy": 0.0,
         }
-        probs = collect_val_probs(eval_fn, state, val_loader)
+        probs = collect_val_probs(eval_fn, state, val_batches())
         if probs["label"].size:
             fake_probs = 1.0 - probs["prob_real"]
             true_fake = probs["label"] < 0.5

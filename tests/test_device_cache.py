@@ -124,6 +124,38 @@ def test_train_cli_with_device_cache(pre_dir, tmp_path):
     assert (tmp_path / "w" / "latest" / "metadata.json").exists()
 
 
+def test_finetune_cli_with_device_cache(pre_dir, tmp_path):
+    """`finetune.py --device-cache` end to end on the 8-virtual-device
+    mesh: partial checkpoint load, cached train epochs, F1 sweep over
+    cache-served val batches."""
+    from lipsync_tpu.training.finetune import (
+        build_argparser as ft_argparser, run_finetune,
+    )
+    from lipsync_tpu.training.train import build_argparser, run_training
+
+    base = build_argparser().parse_args([
+        "--preprocessed-dir", str(pre_dir),
+        "--output-dir", str(tmp_path / "base"),
+        "--epochs", "1", "--batch-size", "8",
+        "--video-frames", "4", "--audio-frames", "16", "--crop-size", "8",
+        "--phase2-start-epoch", "0", "--phase3-start-epoch", "0",
+        "--device-cache", "--val-split", "0.34",
+    ])
+    run_training(base)
+
+    args = ft_argparser().parse_args([
+        "--preprocessed-dir", str(pre_dir),
+        "--checkpoint", str(tmp_path / "base" / "latest"),
+        "--output-dir", str(tmp_path / "ft"),
+        "--epochs", "1", "--frozen-epochs", "0", "--batch-size", "8",
+        "--video-frames", "4", "--audio-frames", "16", "--crop-size", "8",
+        "--device-cache", "--val-split", "0.34",
+    ])
+    history = run_finetune(args)
+    assert np.isfinite(history["val_loss"])
+    assert (tmp_path / "ft" / "latest" / "metadata.json").exists()
+
+
 def test_sharded_gather_runs_train_step(tmp_path, rng):
     import jax
     import jax.numpy as jnp
