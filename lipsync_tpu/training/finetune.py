@@ -206,7 +206,9 @@ def run_finetune(args, detector_backend=None) -> Dict[str, float]:
         )
         return optimizer, state, jax.jit(
             make_train_step(model, optimizer, LossConfig(),
-                            augment_cfg=aug_cfg)
+                            augment_cfg=aug_cfg),
+            # In-place state update on device (see train.py build()).
+            donate_argnums=(0,),
         )
 
     # Partial checkpoint load (shape mismatches keep fresh init).

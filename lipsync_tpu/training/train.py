@@ -234,8 +234,13 @@ def run_training(args, detector_backend=None) -> Dict[str, float]:
             AugmentConfig()
             if device_augment and not args.no_augment else None
         )
+        # Donate the TrainState: params/opt-state/batch-stats buffers are
+        # consumed and rewritten every step, so XLA reuses them in place
+        # instead of holding old+new copies live (matters with a 7 GB
+        # --device-cache corpus sharing HBM with the step).
         step = jax.jit(
-            make_train_step(model, optimizer, loss_cfg, augment_cfg=aug_cfg)
+            make_train_step(model, optimizer, loss_cfg, augment_cfg=aug_cfg),
+            donate_argnums=(0,),
         )
         return optimizer, state, step
 
