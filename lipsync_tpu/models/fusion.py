@@ -83,3 +83,40 @@ class CrossModalAttention(nn.Module):
 
         fused = nn.Dense(self.embed_dim, dtype=self.dtype, name="fuse_fc")(fused)
         return nn.relu(fused)
+
+
+class LegacyFusionModule(nn.Module):
+    """Concat-then-MLP time-wise fusion (fusion_module.py:127-175).
+
+    Kept for API parity with the reference, which ships this module but
+    never wires it into ``LipSyncModel`` (the gated ``CrossModalAttention``
+    above replaced it). Audio is linearly interpolated to the visual token
+    rate when lengths differ, then each timestep's concatenated pair runs
+    through Linear(2D→H)+ReLU+Linear(H→D)+ReLU.
+    """
+
+    embed_dim: int = 256
+    hidden_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, visual_emb: jnp.ndarray, audio_emb: jnp.ndarray
+    ) -> jnp.ndarray:
+        if visual_emb.ndim != 3 or audio_emb.ndim != 3:
+            raise ValueError(
+                "LegacyFusionModule expects (B, T, D) visual and audio inputs"
+            )
+        if (
+            visual_emb.shape[0] != audio_emb.shape[0]
+            or visual_emb.shape[2] != audio_emb.shape[2]
+        ):
+            raise ValueError(
+                "visual_emb and audio_emb must share batch and feature dims"
+            )
+        audio_emb = interp_linear_time(audio_emb, visual_emb.shape[1])
+        x = jnp.concatenate([visual_emb, audio_emb], axis=-1)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(x)
+        return nn.relu(x)

@@ -84,3 +84,36 @@ class TemporalTransformer(nn.Module):
             )(tokens, deterministic=deterministic)
 
         return tokens[:, 0]
+
+
+def temporal_aggregation(x, lengths=None):
+    """Masked global-average pooling over time (temporal.py:114-167).
+
+    The reference ships this as a legacy ``TemporalAggregation`` nn.Module
+    that ``LipSyncModel`` never instantiates (the CLS token above replaced
+    it). It carries no parameters, so the TPU-native port is a pure
+    function: mean over axis 1, or a masked mean when ``lengths`` gives
+    per-sequence valid lengths (padded steps ``t >= lengths[b]`` ignored,
+    zero-length rows clamped to avoid division by zero).
+
+    Args:
+        x: ``(B, T, D)`` fused features.
+        lengths: optional ``(B,)`` int array of valid lengths.
+
+    Returns:
+        ``(B, D)`` pooled features.
+    """
+    if x.ndim != 3:
+        raise ValueError(
+            f"temporal_aggregation expects (B, T, D), got {x.shape}"
+        )
+    if lengths is None:
+        return jnp.mean(x, axis=1)
+    lengths = jnp.asarray(lengths)
+    if lengths.ndim != 1 or lengths.shape[0] != x.shape[0]:
+        raise ValueError("lengths must be (B,) and match the batch size")
+    mask = (
+        jnp.arange(x.shape[1])[None, :] < lengths[:, None]
+    ).astype(x.dtype)[..., None]
+    denom = jnp.maximum(lengths, 1).astype(x.dtype)[:, None]
+    return jnp.sum(x * mask, axis=1) / denom
