@@ -80,11 +80,46 @@ def _probe_host_link(device) -> float:
     return 64.0 / (time.perf_counter() - t0)
 
 
+def _accelerator_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe the configured accelerator platform in a THROWAWAY subprocess.
+
+    The remote axon platform sits behind a tunnel; when that tunnel is
+    down, the plugin's claim loop retries for many minutes before
+    erroring, which would hang the driver's end-of-round bench run. A
+    bounded subprocess probe keeps the parent's jax uninitialized so it
+    can still fall back to an honest CPU measurement.
+    """
+    import os
+    import subprocess
+
+    # In-process override (tests / dev runs force CPU via jax.config,
+    # which env vars don't reflect — CLAUDE.md gotcha).
+    if (getattr(jax.config, "jax_platforms", None) or "") == "cpu":
+        return False
+    if os.environ.get("JAX_PLATFORMS", "") in ("", "cpu"):
+        return False
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ).returncode
+        return rc == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import os
 
     from lipsync_tpu.inference.engine import ScoringEngine
     from lipsync_tpu.models import LipSyncModel, ModelConfig
+
+    if not _accelerator_reachable():
+        _progress("accelerator unreachable -> falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compile cache: every distinct program here costs minutes
     # through the remote compile service; cache hits make re-runs (and the
@@ -166,6 +201,17 @@ def main() -> None:
         (flops_per_window * engine_wps / peak) if peak and flops_batch else 0.0
     )
     engine_mb_per_call = veh.nbytes / 1e6 + aeh.nbytes / 1e6
+    # Theoretical ceiling of this path on this host link: with double
+    # buffering, compute hides behind transfer, so the floor per call is
+    # pure upload time. utilization ~1.0 certifies the link is saturated
+    # (round-2 VERDICT item 5's alternative "done" criterion).
+    engine_link_ceiling_wps = (
+        engine_windows / (engine_mb_per_call / link_mbps)
+        if link_mbps > 0 else 0.0
+    )
+    engine_link_utilization = (
+        engine_wps / engine_link_ceiling_wps if engine_link_ceiling_wps else 0.0
+    )
 
     # ---- engine track path (uint8 single-upload + on-device gather) -------
     # A 32-window track at stride 8: 32*8+32=288 frames of crops uploaded
@@ -211,6 +257,8 @@ def main() -> None:
                 "engine_mfu": round(engine_mfu, 4),
                 "engine_transfer_mb_per_call": round(engine_mb_per_call, 1),
                 "host_link_mbps": round(link_mbps, 1),
+                "engine_link_ceiling_wps": round(engine_link_ceiling_wps, 2),
+                "engine_link_utilization": round(engine_link_utilization, 3),
                 "engine_transfer_bound": bool(
                     on_tpu
                     and link_mbps > 0

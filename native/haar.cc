@@ -11,12 +11,32 @@
 // algorithm: scale pyramid over the image (bilinear), integral + squared
 // integral per scale, sliding 24x24-equivalent window with variance
 // normalization, small-tree weak classifiers, then min-neighbors grouping.
+//
+// Hot-path design (the serving pipeline is host-detection-bound):
+//  * feature rects are resolved ONCE PER SCALE into flat integral-image
+//    offsets (OpenCV's setImage trick) — the per-window evaluation is
+//    pure pointer arithmetic on a uint32 integral image;
+//  * all shipped OpenCV face cascades are pure STUMPS (one node per weak
+//    classifier, verified at load), which removes the tree walk: each
+//    weak is feature -> compare -> add one of two leaves;
+//  * on AVX-512 hosts, 16 adjacent windows evaluate per vector iteration
+//    with masked early-exit (per-lane math identical to the scalar path,
+//    so results are bitwise equal — tested via HAAR_FORCE_SCALAR).
+// Generic tree cascades fall back to the per-window tree walker.
 
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#if defined(__AVX512F__)
+#include <immintrin.h>
+// _mm512_cvtepi32_ps expands through _mm512_undefined_ps(), which gcc's
+// -Wmaybe-uninitialized flags as a false positive (gcc bug 105593).
+#pragma GCC diagnostic ignored "-Wmaybe-uninitialized"
+#endif
 
 namespace {
 
@@ -28,7 +48,7 @@ struct Cascade {
   const int32_t* stage_nweak;
   const int32_t* weak_first_node;
   const int32_t* weak_first_leaf;
-  const int32_t* node_left;    // child index within weak (or ~leaf)
+  const int32_t* node_left;    // child index within weak (or <=0: leaf)
   const int32_t* node_right;
   const int32_t* node_feature;
   const float* node_threshold;
@@ -41,51 +61,113 @@ struct Rect {
   int x, y, w, h;
 };
 
-inline double rect_sum(const double* integral, int stride, int x, int y,
-                       int w, int h) {
-  return integral[y * stride + x] + integral[(y + h) * stride + (x + w)] -
-         integral[y * stride + (x + w)] - integral[(y + h) * stride + x];
+// ── per-scale resolved tables ───────────────────────────────────────────
+
+// Generic tree node: rect corners as flat offsets from the window's
+// top-left corner in the integral image. 3 rects max; unused rects have
+// weight 0 and offsets 0 (their gather is a no-op).
+struct NodeT {
+  int32_t a[3], b[3], c[3], d[3];  // corner offsets: sum = A + D - B - C
+  float w[3];
+  float threshold;
+  int32_t left, right;
+};
+
+// Stump weak classifier (all OpenCV face cascades): one node, two leaves.
+struct StumpW {
+  int32_t a[3], b[3], c[3], d[3];
+  float w[3];
+  float threshold;
+  float leaf_lt, leaf_ge;  // feature < thr*var_norm ? leaf_lt : leaf_ge
+  int32_t nrects;
+};
+
+void resolve_rects(const Cascade& c, int feature, int stride, int32_t* a,
+                   int32_t* b, int32_t* cc, int32_t* d, float* w,
+                   int* nrects_out) {
+  int nrects = c.feat_nrects[feature];
+  const float* rects = c.feat_rects + (size_t)feature * 15;
+  for (int r = 0; r < 3; ++r) {
+    if (r < nrects) {
+      const float* rr = rects + r * 5;
+      int x = (int)rr[0], y = (int)rr[1], rw = (int)rr[2], rh = (int)rr[3];
+      a[r] = y * stride + x;
+      b[r] = y * stride + (x + rw);
+      cc[r] = (y + rh) * stride + x;
+      d[r] = (y + rh) * stride + (x + rw);
+      w[r] = rr[4];
+    } else {
+      a[r] = b[r] = cc[r] = d[r] = 0;
+      w[r] = 0.0f;
+    }
+  }
+  if (nrects_out) *nrects_out = nrects;
 }
 
-// Evaluate the cascade at window (wx, wy) on the (scaled) integral images.
-bool eval_window(const Cascade& c, const double* integral,
-                 const double* sq_integral, int stride, int wx, int wy) {
-  const double area = (double)c.win_w * c.win_h;
-  const double inv_area = 1.0 / area;
-  double mean = rect_sum(integral, stride, wx, wy, c.win_w, c.win_h) * inv_area;
-  double var =
-      rect_sum(sq_integral, stride, wx, wy, c.win_w, c.win_h) * inv_area -
-      mean * mean;
-  double var_norm = var > 0 ? std::sqrt(var) : 1.0;
+void build_node_table(const Cascade& c, int n_nodes, int stride,
+                      std::vector<NodeT>& table) {
+  table.resize(n_nodes);
+  for (int i = 0; i < n_nodes; ++i) {
+    NodeT& n = table[i];
+    resolve_rects(c, c.node_feature[i], stride, n.a, n.b, n.c, n.d, n.w,
+                  nullptr);
+    n.threshold = c.node_threshold[i];
+    n.left = c.node_left[i];
+    n.right = c.node_right[i];
+  }
+}
 
+void build_stump_table(const Cascade& c, int n_weak, int stride,
+                       std::vector<StumpW>& table) {
+  table.resize(n_weak);
+  for (int i = 0; i < n_weak; ++i) {
+    StumpW& s = table[i];
+    int node = c.weak_first_node[i];  // == i for pure-stump cascades
+    resolve_rects(c, c.node_feature[node], stride, s.a, s.b, s.c, s.d, s.w,
+                  &s.nrects);
+    s.threshold = c.node_threshold[node];
+    int leaf0 = c.weak_first_leaf[i];
+    s.leaf_lt = c.leaves[leaf0 + (-c.node_left[node])];
+    s.leaf_ge = c.leaves[leaf0 + (-c.node_right[node])];
+  }
+}
+
+// ── window evaluation ───────────────────────────────────────────────────
+
+inline float window_var_norm(const uint32_t* p, const uint64_t* psq, int wb,
+                             int wc, int wd, float inv_area) {
+  double total = (double)(p[0] + p[wd] - p[wb] - p[wc]);
+  double sqtotal = (double)(psq[0] + psq[wd] - psq[wb] - psq[wc]);
+  double mean = total * inv_area;
+  double var = sqtotal * inv_area - mean * mean;
+  return var > 0 ? (float)std::sqrt(var) : 1.0f;
+}
+
+inline float rect_sum_f(const uint32_t* p, const int32_t* a, const int32_t* b,
+                        const int32_t* c, const int32_t* d, int r) {
+  return (float)(int32_t)(p[a[r]] + p[d[r]] - p[b[r]] - p[c[r]]);
+}
+
+// Generic tree cascade at one window (top-left integral pointer `p`).
+bool eval_window_tree(const Cascade& c, const std::vector<NodeT>& nodes,
+                      const uint32_t* p, float var_norm, float inv_area) {
   for (int s = 0; s < c.n_stages; ++s) {
-    double stage_sum = 0.0;
+    float stage_sum = 0.0f;
     int first_weak = c.stage_first_weak[s];
-    int nweak = c.stage_nweak[s];
-    for (int k = 0; k < nweak; ++k) {
-      int w_idx = first_weak + k;
+    int end_weak = first_weak + c.stage_nweak[s];
+    for (int w_idx = first_weak; w_idx < end_weak; ++w_idx) {
       int node0 = c.weak_first_node[w_idx];
       int leaf0 = c.weak_first_leaf[w_idx];
       int node = 0;
       // Walk the (tiny) decision tree. OpenCV node encoding: child index
-      // > 0 is the next internal node; <= 0 is a leaf with index -child
-      // (cascadedetect predictOrdered: `while (idx > 0)` then
-      // `leaves[leafOfs - idx]`).
+      // > 0 is the next internal node; <= 0 is a leaf with index -child.
       for (;;) {
-        int n_idx = node0 + node;
-        int f = c.node_feature[n_idx];
-        const float* rects = c.feat_rects + (size_t)f * 15;
-        int nrects = c.feat_nrects[f];
-        double fsum = 0.0;
-        for (int r = 0; r < nrects; ++r) {
-          const float* rr = rects + r * 5;
-          fsum += rr[4] * rect_sum(integral, stride, wx + (int)rr[0],
-                                   wy + (int)rr[1], (int)rr[2], (int)rr[3]);
-        }
-        double val = fsum * inv_area;
-        int next = (val < c.node_threshold[n_idx] * var_norm)
-                       ? c.node_left[n_idx]
-                       : c.node_right[n_idx];
+        const NodeT& n = nodes[node0 + node];
+        float fsum = n.w[0] * rect_sum_f(p, n.a, n.b, n.c, n.d, 0) +
+                     n.w[1] * rect_sum_f(p, n.a, n.b, n.c, n.d, 1) +
+                     n.w[2] * rect_sum_f(p, n.a, n.b, n.c, n.d, 2);
+        int next = (fsum * inv_area < n.threshold * var_norm) ? n.left
+                                                              : n.right;
         if (next <= 0) {
           stage_sum += c.leaves[leaf0 + (-next)];
           break;
@@ -98,45 +180,161 @@ bool eval_window(const Cascade& c, const double* integral,
   return true;
 }
 
+// Stump cascade at one window.
+bool eval_window_stump(const Cascade& c, const std::vector<StumpW>& stumps,
+                       const uint32_t* p, float var_norm, float inv_area) {
+  for (int s = 0; s < c.n_stages; ++s) {
+    float stage_sum = 0.0f;
+    int w_idx = c.stage_first_weak[s];
+    int end_weak = w_idx + c.stage_nweak[s];
+    for (; w_idx < end_weak; ++w_idx) {
+      const StumpW& st = stumps[w_idx];
+      float fsum = st.w[0] * rect_sum_f(p, st.a, st.b, st.c, st.d, 0) +
+                   st.w[1] * rect_sum_f(p, st.a, st.b, st.c, st.d, 1);
+      if (st.nrects > 2)
+        fsum += st.w[2] * rect_sum_f(p, st.a, st.b, st.c, st.d, 2);
+      stage_sum += (fsum * inv_area < st.threshold * var_norm) ? st.leaf_lt
+                                                               : st.leaf_ge;
+    }
+    if (stage_sum < c.stage_thresholds[s]) return false;
+  }
+  return true;
+}
+
+#if defined(__AVX512F__)
+
+// Load 16 uint32 lane values for adjacent windows: lane k reads
+// base[k * STEP]. STEP 1 is a plain load; STEP 2 deinterleaves two
+// contiguous vectors (linear loads beat vpgatherdd by a wide margin).
+inline __m512i even_index_vec() {
+  alignas(64) int32_t idx[16];
+  for (int i = 0; i < 16; ++i) idx[i] = 2 * i;  // 0..14 from lo, 16.. hi
+  return _mm512_load_si512(idx);
+}
+
+template <int STEP>
+inline __m512i lane_load(const uint32_t* base, __m512i even_idx) {
+  if constexpr (STEP == 1) {
+    (void)even_idx;
+    return _mm512_loadu_si512(base);
+  } else {
+    __m512i lo = _mm512_loadu_si512(base);
+    __m512i hi = _mm512_loadu_si512(base + 16);
+    return _mm512_permutex2var_epi32(lo, even_idx, hi);
+  }
+}
+
+// Evaluate a stump cascade on 16 adjacent windows starting at integral
+// pointer `p` (lane k's window at p + k*STEP). Returns a survivors mask.
+// Per-lane arithmetic matches eval_window_stump exactly (same op order),
+// so results are bitwise identical to the scalar path.
+template <int STEP>
+uint16_t eval_block_stump16(const Cascade& c,
+                            const std::vector<StumpW>& stumps,
+                            const uint32_t* p, const uint64_t* psq, int wb,
+                            int wc, int wd, float inv_area,
+                            __m512i even_idx) {
+  // Variance normalization per lane (scalar: 4 u64 + 4 u32 loads + sqrt —
+  // once per window, cheap next to the stage loop).
+  alignas(64) float vn[16];
+  for (int k = 0; k < 16; ++k)
+    vn[k] = window_var_norm(p + k * STEP, psq + k * STEP, wb, wc, wd,
+                            inv_area);
+  const __m512 var_norm = _mm512_load_ps(vn);
+  const __m512 vinv_area = _mm512_set1_ps(inv_area);
+
+  auto rect16 = [&](const StumpW& st, int r) -> __m512 {
+    __m512i s = _mm512_add_epi32(lane_load<STEP>(p + st.a[r], even_idx),
+                                 lane_load<STEP>(p + st.d[r], even_idx));
+    s = _mm512_sub_epi32(s, lane_load<STEP>(p + st.b[r], even_idx));
+    s = _mm512_sub_epi32(s, lane_load<STEP>(p + st.c[r], even_idx));
+    return _mm512_cvtepi32_ps(s);  // window sums < 2^24: exact
+  };
+
+  uint16_t active = 0xFFFF;
+  for (int s = 0; s < c.n_stages; ++s) {
+    __m512 stage_sum = _mm512_setzero_ps();
+    int w_idx = c.stage_first_weak[s];
+    int end_weak = w_idx + c.stage_nweak[s];
+    for (; w_idx < end_weak; ++w_idx) {
+      const StumpW& st = stumps[w_idx];
+      __m512 fsum = _mm512_mul_ps(_mm512_set1_ps(st.w[0]), rect16(st, 0));
+      fsum = _mm512_fmadd_ps(_mm512_set1_ps(st.w[1]), rect16(st, 1), fsum);
+      if (st.nrects > 2)
+        fsum = _mm512_fmadd_ps(_mm512_set1_ps(st.w[2]), rect16(st, 2), fsum);
+      __mmask16 lt = _mm512_cmp_ps_mask(
+          _mm512_mul_ps(fsum, vinv_area),
+          _mm512_mul_ps(_mm512_set1_ps(st.threshold), var_norm), _CMP_LT_OQ);
+      __m512 leaf = _mm512_mask_blend_ps(lt, _mm512_set1_ps(st.leaf_ge),
+                                         _mm512_set1_ps(st.leaf_lt));
+      stage_sum = _mm512_add_ps(stage_sum, leaf);
+    }
+    __mmask16 pass = _mm512_cmp_ps_mask(
+        stage_sum, _mm512_set1_ps(c.stage_thresholds[s]), _CMP_NLT_UQ);
+    active &= (uint16_t)pass;
+    if (!active) break;
+  }
+  return active;
+}
+
+bool host_has_avx512() { return __builtin_cpu_supports("avx512f"); }
+
+#endif  // __AVX512F__
+
+// ── image pyramid ───────────────────────────────────────────────────────
+
 void bilinear_resize_gray(const uint8_t* src, int sh, int sw, uint8_t* dst,
                           int dh, int dw) {
   const double sx = (double)sw / dw;
   const double sy = (double)sh / dh;
+  std::vector<int> x0s(dw), x1s(dw);
+  std::vector<float> wxs(dw);
+  for (int x = 0; x < dw; ++x) {
+    double fx = (x + 0.5) * sx - 0.5;
+    fx = std::max(0.0, std::min(fx, (double)sw - 1));
+    x0s[x] = (int)fx;
+    x1s[x] = std::min(x0s[x] + 1, sw - 1);
+    wxs[x] = (float)(fx - x0s[x]);
+  }
   for (int y = 0; y < dh; ++y) {
     double fy = (y + 0.5) * sy - 0.5;
     fy = std::max(0.0, std::min(fy, (double)sh - 1));
     int y0 = (int)fy;
     int y1 = std::min(y0 + 1, sh - 1);
-    double wy = fy - y0;
+    float wy = (float)(fy - y0);
+    const uint8_t* r0 = src + (size_t)y0 * sw;
+    const uint8_t* r1 = src + (size_t)y1 * sw;
+    uint8_t* out = dst + (size_t)y * dw;
     for (int x = 0; x < dw; ++x) {
-      double fx = (x + 0.5) * sx - 0.5;
-      fx = std::max(0.0, std::min(fx, (double)sw - 1));
-      int x0 = (int)fx;
-      int x1 = std::min(x0 + 1, sw - 1);
-      double wx = fx - x0;
-      double top = src[y0 * sw + x0] * (1 - wx) + src[y0 * sw + x1] * wx;
-      double bot = src[y1 * sw + x0] * (1 - wx) + src[y1 * sw + x1] * wx;
-      dst[y * dw + x] = (uint8_t)(top * (1 - wy) + bot * wy + 0.5);
+      float wx = wxs[x];
+      float top = r0[x0s[x]] * (1 - wx) + r0[x1s[x]] * wx;
+      float bot = r1[x0s[x]] * (1 - wx) + r1[x1s[x]] * wx;
+      out[x] = (uint8_t)(top * (1 - wy) + bot * wy + 0.5f);
     }
   }
 }
 
-void compute_integrals(const uint8_t* img, int h, int w, double* integral,
-                       double* sq_integral) {
+void compute_integrals(const uint8_t* img, int h, int w, uint32_t* integral,
+                       uint64_t* sq_integral) {
   int stride = w + 1;
-  std::memset(integral, 0, sizeof(double) * stride);
-  std::memset(sq_integral, 0, sizeof(double) * stride);
+  std::memset(integral, 0, sizeof(uint32_t) * stride);
+  std::memset(sq_integral, 0, sizeof(uint64_t) * stride);
   for (int y = 0; y < h; ++y) {
-    double row = 0, sqrow = 0;
-    integral[(y + 1) * stride] = 0;
-    sq_integral[(y + 1) * stride] = 0;
+    uint32_t row = 0;
+    uint64_t sqrow = 0;
+    const uint8_t* src = img + (size_t)y * w;
+    uint32_t* cur = integral + (size_t)(y + 1) * stride;
+    const uint32_t* prev = integral + (size_t)y * stride;
+    uint64_t* curq = sq_integral + (size_t)(y + 1) * stride;
+    const uint64_t* prevq = sq_integral + (size_t)y * stride;
+    cur[0] = 0;
+    curq[0] = 0;
     for (int x = 0; x < w; ++x) {
-      double v = img[y * w + x];
+      uint32_t v = src[x];
       row += v;
-      sqrow += v * v;
-      integral[(y + 1) * stride + x + 1] = integral[y * stride + x + 1] + row;
-      sq_integral[(y + 1) * stride + x + 1] =
-          sq_integral[y * stride + x + 1] + sqrow;
+      sqrow += (uint64_t)v * v;
+      cur[x + 1] = prev[x + 1] + row;
+      curq[x + 1] = prevq[x + 1] + sqrow;
     }
   }
 }
@@ -217,9 +415,44 @@ int64_t haar_detect(
             node_right, node_feature, node_threshold, leaves, feat_nrects,
             feat_rects};
 
+  int last_stage = n_stages - 1;
+  int last_weak =
+      c.stage_first_weak[last_stage] + c.stage_nweak[last_stage] - 1;
+  int n_weak_total = last_weak + 1;
+  // Nodes are laid out contiguously per weak (haar.py packer); the total
+  // count is the last weak's first node + its tree size (walked — trees
+  // are tiny). A pure-stump cascade has exactly one node per weak.
+  int n_nodes = c.weak_first_node[last_weak];
+  {
+    int count = 0;
+    std::vector<int> stack = {0};
+    while (!stack.empty()) {
+      int node = stack.back();
+      stack.pop_back();
+      ++count;
+      int idx = c.weak_first_node[last_weak] + node;
+      if (c.node_left[idx] > 0) stack.push_back(c.node_left[idx]);
+      if (c.node_right[idx] > 0) stack.push_back(c.node_right[idx]);
+    }
+    n_nodes += count;
+  }
+  bool all_stumps = (n_nodes == n_weak_total);
+
+#if defined(__AVX512F__)
+  bool use_simd = all_stumps && (step == 1 || step == 2) &&
+                  host_has_avx512() && !std::getenv("HAAR_FORCE_SCALAR");
+#else
+  const bool use_simd = false;
+#endif
+
+  const float inv_area = 1.0f / (float)(win_w * win_h);
+
   std::vector<Rect> found;
   std::vector<uint8_t> scaled;
-  std::vector<double> integral, sq_integral;
+  std::vector<uint32_t> integral;
+  std::vector<uint64_t> sq_integral;
+  std::vector<NodeT> nodes;
+  std::vector<StumpW> stumps;
 
   for (double scale = 1.0;; scale *= scale_factor) {
     int sw = (int)(width / scale + 0.5);
@@ -235,19 +468,58 @@ int64_t haar_detect(
       bilinear_resize_gray(gray, height, width, scaled.data(), sh, sw);
 
     int stride = sw + 1;
-    integral.resize((size_t)stride * (sh + 1));
-    sq_integral.resize((size_t)stride * (sh + 1));
+    // +32 slack: the 16-lane vector loads read up to 31 elements past a
+    // lane-0 corner; at the last row's right edge that lands just past
+    // the integral's end. The slack keeps those (masked-out) reads in
+    // bounds.
+    integral.resize((size_t)stride * (sh + 1) + 32);
+    sq_integral.resize((size_t)stride * (sh + 1) + 32);
     compute_integrals(scaled.data(), sh, sw, integral.data(),
                       sq_integral.data());
 
+    if (all_stumps)
+      build_stump_table(c, n_weak_total, stride, stumps);
+    else
+      build_node_table(c, n_nodes, stride, nodes);
+    // Window's own corner offsets (variance normalization).
+    int wb = win_w, wc = win_h * stride, wd = win_h * stride + win_w;
+
+    auto emit = [&](int x, int y) {
+      found.push_back({(int)(x * scale + 0.5), (int)(y * scale + 0.5),
+                       (int)(win_w * scale + 0.5),
+                       (int)(win_h * scale + 0.5)});
+    };
+
+    int x_end = sw - win_w;  // inclusive last window x
     for (int y = 0; y + win_h <= sh; y += step) {
-      for (int x = 0; x + win_w <= sw; x += step) {
-        if (eval_window(c, integral.data(), sq_integral.data(), stride, x,
-                        y)) {
-          found.push_back({(int)(x * scale + 0.5), (int)(y * scale + 0.5),
-                           (int)(win_w * scale + 0.5),
-                           (int)(win_h * scale + 0.5)});
+      const uint32_t* prow = integral.data() + (size_t)y * stride;
+      const uint64_t* qrow = sq_integral.data() + (size_t)y * stride;
+      int x = 0;
+#if defined(__AVX512F__)
+      if (use_simd) {
+        const __m512i even_idx = even_index_vec();
+        for (; x + 15 * step <= x_end; x += 16 * step) {
+          uint16_t survivors =
+              step == 1 ? eval_block_stump16<1>(c, stumps, prow + x,
+                                                qrow + x, wb, wc, wd,
+                                                inv_area, even_idx)
+                        : eval_block_stump16<2>(c, stumps, prow + x,
+                                                qrow + x, wb, wc, wd,
+                                                inv_area, even_idx);
+          while (survivors) {
+            int k = __builtin_ctz(survivors);
+            survivors &= (uint16_t)(survivors - 1);
+            emit(x + k * step, y);
+          }
         }
+      }
+#endif
+      for (; x <= x_end; x += step) {
+        float vn = window_var_norm(prow + x, qrow + x, wb, wc, wd, inv_area);
+        bool hit = all_stumps
+                       ? eval_window_stump(c, stumps, prow + x, vn, inv_area)
+                       : eval_window_tree(c, nodes, prow + x, vn, inv_area);
+        if (hit) emit(x, y);
       }
     }
   }
