@@ -117,9 +117,13 @@ def main() -> None:
     from lipsync_tpu.inference.engine import ScoringEngine
     from lipsync_tpu.models import LipSyncModel, ModelConfig
 
+    fell_back_to_cpu = False
     if not _accelerator_reachable():
         _progress("accelerator unreachable -> falling back to CPU")
         jax.config.update("jax_platforms", "cpu")
+        fell_back_to_cpu = os.environ.get("JAX_PLATFORMS", "") not in (
+            "", "cpu",
+        )
 
     # Persistent compile cache: every distinct program here costs minutes
     # through the remote compile service; cache hits make re-runs (and the
@@ -274,6 +278,15 @@ def main() -> None:
                 "engine_batch": engine_batch,
                 "dtype": str(dtype.__name__),
                 "platform": platform,
+                **(
+                    {
+                        "note": "remote accelerator unreachable at run "
+                        "time; CPU fallback — not comparable to "
+                        "platform=tpu rounds"
+                    }
+                    if fell_back_to_cpu
+                    else {}
+                ),
             }
         )
     )

@@ -203,3 +203,43 @@ def test_fit_calibrator_all_methods(preprocessed_dir, tmp_path):
     probs = cal(np.array([-2.0, 0.0, 2.0]))
     assert probs.shape == (3,)
     assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_robustness_grid(preprocessed_dir, tmp_path):
+    import eval_robustness_grid as erg
+
+    out = tmp_path / "grid.json"
+    args = erg.build_argparser().parse_args([
+        "--preprocessed-dir", str(preprocessed_dir),
+        "--output", str(out),
+        "--batch-size", "4",
+    ])
+    res = erg.run_grid(args, engine=StubEngine())
+    cells = res["cells"]
+    names = [n for n, _ in erg.build_grid(4, 16)]
+    assert sorted(cells) == sorted(names)
+    # Same windows in every cell: the clean cell separates the fixture's
+    # bright-real/dark-fake construction perfectly.
+    assert cells["clean"]["accuracy"] == 1.0
+    assert cells["clean"]["roc_auc"] == 1.0
+    # Mel perturbations can't move the visual-only stub.
+    assert cells["mel_noise_5db"] == cells["clean"]
+    assert cells["av_shift_8f"] == cells["clean"]
+    # Brightness scaling shifts the stub's probabilities but not the
+    # ranking (AUC invariant under monotone transforms).
+    assert cells["brightness_0.7"]["roc_auc"] == 1.0
+    assert json.loads(out.read_text())["clips_scored"] == 10
+
+
+def test_av_shift_moves_audio_not_video(rng):
+    import eval_robustness_grid as erg
+
+    v = rng.rand(4, 8, 8, 3).astype(np.float32)
+    a = np.tile(np.arange(16, dtype=np.float32), (80, 1)) * -1.0
+    fn = erg.av_shift(1, video_frames=4, audio_frames=16)
+    v2, a2 = fn(v, a, np.random.RandomState(0))
+    assert np.array_equal(v, v2)
+    # 1 visual frame = 4 mel cols here: content shifts left by 4,
+    # edge-padded with the last column.
+    assert np.array_equal(a2[:, :12], a[:, 4:])
+    assert np.array_equal(a2[:, 12:], np.repeat(a[:, -1:], 4, axis=1))
