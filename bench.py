@@ -89,15 +89,8 @@ def _accelerator_reachable(timeout_s: float = 180.0) -> bool:
     bounded subprocess probe keeps the parent's jax uninitialized so it
     can still fall back to an honest CPU measurement.
     """
-    import os
     import subprocess
 
-    # In-process override (tests / dev runs force CPU via jax.config,
-    # which env vars don't reflect — CLAUDE.md gotcha).
-    if (getattr(jax.config, "jax_platforms", None) or "") == "cpu":
-        return False
-    if os.environ.get("JAX_PLATFORMS", "") in ("", "cpu"):
-        return False
     try:
         rc = subprocess.run(
             [sys.executable, "-c",
@@ -117,13 +110,17 @@ def main() -> None:
     from lipsync_tpu.inference.engine import ScoringEngine
     from lipsync_tpu.models import LipSyncModel, ModelConfig
 
+    # Dev runs force CPU in-process via jax.config (env vars don't reflect
+    # it — CLAUDE.md gotcha); only probe when an accelerator is requested.
+    wants_accelerator = (
+        (getattr(jax.config, "jax_platforms", None) or "") != "cpu"
+        and os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
+    )
     fell_back_to_cpu = False
-    if not _accelerator_reachable():
+    if wants_accelerator and not _accelerator_reachable():
         _progress("accelerator unreachable -> falling back to CPU")
         jax.config.update("jax_platforms", "cpu")
-        fell_back_to_cpu = os.environ.get("JAX_PLATFORMS", "") not in (
-            "", "cpu",
-        )
+        fell_back_to_cpu = True
 
     # Persistent compile cache: every distinct program here costs minutes
     # through the remote compile service; cache hits make re-runs (and the

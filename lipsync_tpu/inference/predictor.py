@@ -100,6 +100,11 @@ class PredictorConfig:
     # device). Params replicate; XLA derives the collectives (SURVEY §2.4
     # design: DP over windows/tracks/requests is the whole story).
     data_parallel_devices: int = 0
+    # Quantized serving: encoder convs run int8 on the MXU (2x bf16 peak
+    # on v5e; layers.Int8Conv). Measured |dprob| vs fp is at the bf16
+    # noise floor on random weights (tests/test_ops.py); off by default
+    # pending a trained-weights quality measurement.
+    quantized_int8: bool = False
 
     def __post_init__(self):
         if self.confidence_smoothing not in {"none", "median", "trimmed_mean"}:
@@ -150,6 +155,7 @@ class Predictor:
                 Path(model_path), model_config, calibrator=calibrator,
                 shared_visual_encoding=config.shared_visual_encoding,
                 mesh=mesh,
+                quantized_int8=config.quantized_int8,
             )
 
     # ── Core scoring helpers ──────────────────────────────────────────────

@@ -24,6 +24,7 @@ class AudioEncoder(nn.Module):
     dropout: float = 0.1
     preserve_audio_temporal: bool = True
     dtype: Any = jnp.float32
+    conv_lowering: str = "conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -36,12 +37,14 @@ class AudioEncoder(nn.Module):
             strides=(2, 2),
             padding=((3, 3), (3, 3)),
             dtype=self.dtype,
+            lowering=self.conv_lowering,
             name="stem",
         )(x, train=train)
         out = max_pool_same(out, (3, 3), (2, 2), ((1, 1), (1, 1)))
 
         block = lambda f, s, name: ResidualBlockND(
-            f, kernel_size=(3, 3), strides=s, dtype=self.dtype, name=name
+            f, kernel_size=(3, 3), strides=s, dtype=self.dtype,
+            lowering=self.conv_lowering, name=name,
         )
         layer3_stride = (2, 1) if self.preserve_audio_temporal else (2, 2)
         out = block(c, (1, 1), "layer1")(out, train=train)

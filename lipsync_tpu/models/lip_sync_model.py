@@ -58,6 +58,10 @@ class ModelConfig:
     use_high_freq_artifact: bool = True
     preserve_audio_temporal: bool = True
     dropout: float = 0.1
+    # Encoder conv lowering: "conv" (XLA emitter, reference parity) or
+    # "int8" (dynamic post-training quantization, inference only — the
+    # MXU's int8 path peaks at 2x bf16 on v5e; see layers.Int8Conv).
+    conv_lowering: str = "conv"
 
     # Canonical input geometry (BASELINE.md invariants).
     video_frames: int = 32
@@ -76,12 +80,14 @@ class LipSyncModel(nn.Module):
             feature_dim=cfg.visual_feature_dim,
             dropout=cfg.dropout,
             dtype=self.dtype,
+            conv_lowering=cfg.conv_lowering,
         )
         self.audio_encoder = AudioEncoder(
             feature_dim=cfg.audio_feature_dim,
             dropout=cfg.dropout,
             preserve_audio_temporal=cfg.preserve_audio_temporal,
             dtype=self.dtype,
+            conv_lowering=cfg.conv_lowering,
         )
         self.projection = FeatureProjection(
             embed_dim=cfg.embed_dim, dtype=self.dtype

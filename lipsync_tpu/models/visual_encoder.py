@@ -26,6 +26,7 @@ class VisualEncoder(nn.Module):
     base_channels: int = 64
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    conv_lowering: str = "conv"
 
     @nn.compact
     def __call__(
@@ -46,12 +47,14 @@ class VisualEncoder(nn.Module):
             strides=(1, 2, 2),
             padding=((1, 1), (3, 3), (3, 3)),
             dtype=self.dtype,
+            lowering=self.conv_lowering,
             name="stem",
         )(x, train=train)
         out = max_pool_same(out, (1, 3, 3), (1, 2, 2), ((0, 0), (1, 1), (1, 1)))
 
         block = lambda f, s, name: ResidualBlockND(
-            f, kernel_size=(3, 3, 3), strides=s, dtype=self.dtype, name=name
+            f, kernel_size=(3, 3, 3), strides=s, dtype=self.dtype,
+            lowering=self.conv_lowering, name=name,
         )
         out = block(c, (1, 1, 1), "layer1")(out, train=train)
         out = block(c * 2, (1, 2, 2), "layer2")(out, train=train)

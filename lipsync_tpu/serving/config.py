@@ -56,6 +56,9 @@ class Settings(BaseModel):
     # TPU-rebuild knob (no reference analog): shard the serving window batch
     # over the first N chips of a slice (0/1 = single chip).
     data_parallel_devices: int = 0
+    # TPU-rebuild knob (no reference analog): int8 encoder convs on the
+    # MXU; see PredictorConfig.quantized_int8.
+    quantized_int8: bool = False
     sqlite_db_path: str = "./jobs.db"
     run_embedded_worker: bool = True
     worker_poll_interval_sec: float = 1.0
@@ -94,6 +97,7 @@ class Settings(BaseModel):
             detection_stride=self.detection_stride,
             shared_visual_encoding=self.shared_visual_encoding,
             data_parallel_devices=self.data_parallel_devices,
+            quantized_int8=self.quantized_int8,
         )
 
 

@@ -193,3 +193,48 @@ def test_shift_matmul_conv_matches_nn_conv(rng):
     np.testing.assert_allclose(np.asarray(got_hp), np.asarray(ref_hp),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-2)
+
+
+def test_int8_conv_matches_nn_conv_within_quant_error(rng):
+    """Int8Conv shares nn.Conv's param tree and tracks it within dynamic
+    8-bit quantization error (layers.Int8Conv docstring)."""
+    import jax
+    from flax import linen as nn
+
+    from lipsync_tpu.models.layers import Int8Conv
+
+    x = jnp.asarray(rng.randn(2, 8, 12, 12, 16).astype(np.float32))
+    kw = dict(kernel_size=(3, 3, 3), strides=(1, 2, 2),
+              padding=((1, 1), (1, 1), (1, 1)), use_bias=False)
+    ref = nn.Conv(24, **kw)
+    q = Int8Conv(24, **kw)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(q.init(jax.random.PRNGKey(0), x))
+    )
+    y_ref = np.asarray(ref.apply(variables, x))
+    y_q = np.asarray(q.apply(variables, x))
+    rel = np.linalg.norm(y_q - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 0.02, rel
+
+
+def test_int8_model_lowering_tracks_fp_logits(rng):
+    """conv_lowering='int8' loads the SAME variables and stays within the
+    bf16 noise floor (|dprob| <= 3.5e-3, BENCHMARKS.md) of the fp path."""
+    import dataclasses
+
+    import jax
+
+    from lipsync_tpu.models import LipSyncModel, ModelConfig
+
+    tiny = ModelConfig(video_frames=8, crop_size=32, mel_bins=80,
+                       audio_frames=32)
+    v = jnp.asarray(rng.rand(2, 8, 32, 32, 3).astype(np.float32))
+    a = jnp.asarray((rng.rand(2, 80, 32, 1) * 80 - 80).astype(np.float32))
+    fp = LipSyncModel(tiny)
+    variables = fp.init(jax.random.PRNGKey(0), v, a)
+    q = LipSyncModel(dataclasses.replace(tiny, conv_lowering="int8"))
+    lf = np.asarray(fp.apply(variables, v, a))
+    lq = np.asarray(q.apply(variables, v, a))
+    dprob = np.abs(1 / (1 + np.exp(-lf)) - 1 / (1 + np.exp(-lq)))
+    assert dprob.max() < 5e-3, dprob.max()
