@@ -111,7 +111,9 @@ def run_grid(args, engine=None) -> Dict:
     from lipsync_tpu.training.data import LipSyncDataset
 
     if engine is None:
-        engine = load_engine(args.model_path)
+        engine = load_engine(
+            args.model_path, quantized_int8=args.quantized_int8
+        )
         if args.calibration_method != "none":
             from lipsync_tpu.inference.calibration import Calibrator
 
@@ -205,6 +207,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quantized-int8", action="store_true",
+                   help="Serve through the int8 MXU conv lowering")
     p.add_argument("--calibration-method", default="none",
                    choices=["none", "temperature", "platt"])
     p.add_argument("--calibration-temperature", type=float, default=1.0)

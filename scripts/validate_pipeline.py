@@ -211,7 +211,10 @@ def run_preprocessed_mode(args, engine=None) -> Dict:
     from lipsync_tpu.training.data import LipSyncDataset
 
     if engine is None:
-        engine = load_engine(args.model_path)
+        engine = load_engine(
+            args.model_path,
+            quantized_int8=getattr(args, "quantized_int8", False),
+        )
         if getattr(args, "calibration_method", "none") != "none":
             # Evaluate through the production calibrator (the reference's
             # Settings thread calibration into the Predictor; preprocessed
@@ -284,6 +287,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--save-every", type=int, default=25)
     # Calibration knobs (same names/defaults as the serving Settings).
+    p.add_argument("--quantized-int8", action="store_true",
+                   help="Serve through the int8 MXU conv lowering "
+                        "(Settings.quantized_int8; layers.Int8Conv)")
     p.add_argument("--calibration-method", default="none",
                    choices=["none", "temperature", "platt", "isotonic"])
     p.add_argument("--calibration-temperature", type=float, default=1.0)
