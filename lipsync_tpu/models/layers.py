@@ -98,6 +98,13 @@ class Int8Conv(nn.Module):
 
     This is an opt-in serving lowering (``ModelConfig.conv_lowering`` /
     ``ScoringEngine(quantized_int8=True)``), NOT a training path.
+
+    Note: the activation scale is per TENSOR, so a window's quantization
+    grid depends (weakly) on its batch-mates — the same window scored in
+    two different batches can differ by up to a quantization step. The
+    measured end-to-end spread sits at the bf16 noise floor
+    (tests/test_ops.py), but bit-exact repeatability across batch
+    compositions is only guaranteed by the default fp lowering.
     """
 
     features: int
