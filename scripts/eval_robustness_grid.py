@@ -128,11 +128,18 @@ def run_grid(args, engine=None) -> Dict:
         video_frames=engine.config.video_frames,
         audio_frames=engine.config.audio_frames,
     )
-    n = len(ds) if not args.limit else min(args.limit, len(ds))
+    if args.limit and args.limit < len(ds):
+        # Evenly-spaced subsample: preprocessed manifests are often blocked
+        # by class, so a head-slice would be single-class.
+        indices = np.unique(
+            np.linspace(0, len(ds) - 1, args.limit).round().astype(int)
+        )
+    else:
+        indices = np.arange(len(ds))
 
     # Load each window once; perturbations reuse the same host arrays.
     visuals, audios, labels = [], [], []
-    for i in range(n):
+    for i in indices:
         sample = ds.get_item(i, train_mode_override=False)
         if sample is None:
             continue
