@@ -465,3 +465,30 @@ def test_temporal_smoothed_spans_full_geometry(rng):
     assert agg == pytest.approx(np.median(confs), abs=1e-6)
     # Two batched calls: full clip (1) + the three sub-windows (3).
     assert engine.calls == [1, 3]
+
+
+def test_quantized_int8_knob_reaches_load_engine(monkeypatch, tmp_path):
+    """Settings.quantized_int8 -> PredictorConfig -> load_engine wiring
+    (docs/SERVING.md knob table)."""
+    from lipsync_tpu.serving.config import Settings
+
+    s = Settings(quantized_int8=True)
+    pc = s.to_predictor_config()
+    assert pc.quantized_int8 is True
+
+    import lipsync_tpu.inference.predictor as pred_mod
+
+    captured = {}
+
+    def fake_load_engine(path, model_config, **kw):
+        captured.update(kw)
+
+        class _E:
+            config = model_config
+            calibrator = Calibrator()
+        return _E()
+
+    monkeypatch.setattr(pred_mod, "load_engine", fake_load_engine)
+    (tmp_path / "w.pth").write_bytes(b"x")
+    Predictor(model_path=tmp_path / "w.pth", config=pc)
+    assert captured.get("quantized_int8") is True
