@@ -227,3 +227,29 @@ def test_preprocess_audio_wav(tmp_path):
 def test_preprocess_audio_empty_raises(long_video):
     with pytest.raises(ValueError, match="Empty audio"):
         audio_pp.preprocess_audio(long_video)  # video has no audio stream
+
+
+def test_chained_detector_isolates_crashing_tier():
+    """A tier raising mid-chain must not kill the frame — the chain falls
+    through to the next backend (face_detection.py ChainedDetector;
+    reference ladder semantics face_detection.py:387-413 + per-frame crash
+    handling :600-619)."""
+    from lipsync_tpu.preprocessing.face_detection import ChainedDetector
+
+    class CrashingBackend:
+        name = "crashy"
+        calls = 0
+
+        def detect(self, frame):
+            CrashingBackend.calls += 1
+            raise RuntimeError("tier blew up")
+
+    frame = np.zeros((120, 160, 3), np.uint8)
+    chain = ChainedDetector([CrashingBackend(), FakeDetector([[BOX]] * 5)])
+    out = chain.detect(frame)
+    assert CrashingBackend.calls == 1
+    assert len(out) == 1 and out[0].detector == "fake"
+
+    # Every tier failing yields an empty frame, not an exception.
+    empty = ChainedDetector([CrashingBackend()]).detect(frame)
+    assert empty == []
