@@ -1,5 +1,6 @@
 """Native muxer + dataset tooling scripts tests (real A/V round trips)."""
 
+import json
 import sys
 from pathlib import Path
 
@@ -104,3 +105,51 @@ def test_diagnose_videos(tmp_path, capsys):
     assert by_name["ok.avi"]["decode"].startswith("ok")
     assert "FAILED" in by_name["broken.mp4"]["decode"] or \
         by_name["broken.mp4"]["probe"]["nb_frames"] == 0
+
+
+def test_merge_preprocessed_dirs(tmp_path, rng):
+    """Union of two preprocessed dirs loads as one dataset with prefixed
+    keys and symlinked payloads (scripts/merge_preprocessed_dirs.py)."""
+    import merge_preprocessed_dirs as mpd
+
+    from lipsync_tpu.training.data import LipSyncDataset
+    from lipsync_tpu.utils import zarrlite
+
+    def make_src(root, n, fill):
+        root.mkdir()
+        g = zarrlite.open_group(root / "samples.zarr", mode="a")
+        recs = []
+        for i in range(n):
+            key = f"sample_{i:03d}"
+            sub = g.require_group(key)
+            sub.create_array(
+                "visual", np.full((6, 8, 8, 3), fill, np.uint8)
+            )
+            sub.create_array("audio", np.zeros((80, 40), np.float32))
+            recs.append({
+                "key": key, "source_path": f"/x/{key}.mp4", "label": i % 2,
+                "precompute_mode": "full_sequence",
+                "storage_format": "zarr", "target_fps": 15.0,
+                "mel_hz": 100.0,
+            })
+        (root / "manifest.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in recs)
+        )
+
+    make_src(tmp_path / "a", 3, fill=10)
+    make_src(tmp_path / "b", 2, fill=200)
+    out = tmp_path / "union"
+    n = mpd.merge([tmp_path / "a", tmp_path / "b"], out)
+    assert n == 5
+
+    ds = LipSyncDataset(preprocessed_dir=out, video_frames=4,
+                        audio_frames=16)
+    assert len(ds) == 5
+    keys = {r["key"] for r in ds._manifest}
+    assert "d0_sample_000" in keys and "d1_sample_001" in keys
+    # Payloads resolve through the symlinks to the right source.
+    got = [ds.get_item(i, train_mode_override=False) for i in range(5)]
+    fills = sorted(round(float(v.mean()), 2) for v, a, label in got)
+    assert fills[0] == fills[1] == fills[2]   # three dim clips from a
+    assert fills[3] == fills[4]               # two bright clips from b
+    assert fills[3] > fills[0]
