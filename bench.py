@@ -197,6 +197,15 @@ def main() -> None:
     p50_engine = _measure(
         engine.score_logits, veh, aeh, iters=max(3, iters // 4)
     )
+    # The tunneled link's rate drifts by up to 10x within minutes
+    # (measured 41-425 MB/s on 2026-08-18), so a ceiling computed from a
+    # single probe taken before the engine stage can misstate utilization
+    # badly. Re-probe immediately after and use the mean of the two
+    # probes that bracket the measurement.
+    link_mbps_post = _probe_host_link(jax.devices()[0]) if on_tpu else 0.0
+    link_mbps_eng = (
+        (link_mbps + link_mbps_post) / 2.0 if on_tpu else 0.0
+    )
     engine_wps = engine_windows / p50_engine
     engine_mfu = (
         (flops_per_window * engine_wps / peak) if peak and flops_batch else 0.0
@@ -207,8 +216,8 @@ def main() -> None:
     # pure upload time. utilization ~1.0 certifies the link is saturated
     # (round-2 VERDICT item 5's alternative "done" criterion).
     engine_link_ceiling_wps = (
-        engine_windows / (engine_mb_per_call / link_mbps)
-        if link_mbps > 0 else 0.0
+        engine_windows / (engine_mb_per_call / link_mbps_eng)
+        if link_mbps_eng > 0 else 0.0
     )
     engine_link_utilization = (
         engine_wps / engine_link_ceiling_wps if engine_link_ceiling_wps else 0.0
@@ -258,13 +267,14 @@ def main() -> None:
                 "engine_mfu": round(engine_mfu, 4),
                 "engine_transfer_mb_per_call": round(engine_mb_per_call, 1),
                 "host_link_mbps": round(link_mbps, 1),
+                "host_link_mbps_post": round(link_mbps_post, 1),
                 "engine_link_ceiling_wps": round(engine_link_ceiling_wps, 2),
                 "engine_link_utilization": round(engine_link_utilization, 3),
                 "engine_transfer_bound": bool(
                     on_tpu
-                    and link_mbps > 0
+                    and link_mbps_eng > 0
                     and p50_engine
-                    > 0.5 * (engine_mb_per_call / link_mbps)
+                    > 0.5 * (engine_mb_per_call / link_mbps_eng)
                 ),
                 "track_gather_windows_per_sec": round(track_wps, 2),
                 "track_shared_windows_per_sec": round(track_shared_wps, 2),

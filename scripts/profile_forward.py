@@ -112,12 +112,18 @@ def main() -> None:
     stages = {}
 
     def add(name, module, *inputs, **kw):
+        # Stream each stage to stderr as it lands: remote compiles cost
+        # minutes per stage, so a bounded run killed mid-way still leaves
+        # every completed row on record.
+        print(f"[profile] {name}...", file=sys.stderr, flush=True)
         t, f = bench_module(module, *inputs, iters=args.iters, **kw)
         stages[name] = {
             "ms": round(t * 1e3, 2),
             "gflops": round(f / 1e9, 1),
             "mfu": round(f / t / peak, 4) if peak and f else None,
         }
+        print(f"[profile] {name}: {json.dumps(stages[name])}",
+              file=sys.stderr, flush=True)
 
     add("visual_encoder",
         VisualEncoder(feature_dim=cfg.visual_feature_dim, dtype=dtype),

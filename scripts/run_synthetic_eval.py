@@ -88,6 +88,12 @@ def main(argv=None) -> int:
                         "difficulty: cross-clip sync learning without the "
                         "time-shifted same-envelope negatives)")
     p.add_argument("--no-jitter", action="store_true")
+    p.add_argument("--device-cache", action="store_true",
+                   help="cache the whole corpus in HBM and gather windows "
+                        "on device (training/device_cache.py); required for "
+                        "multi-hour runs on the axon backend, whose "
+                        "host->device transfers leak host RSS "
+                        "(BENCHMARKS.md)")
     args = p.parse_args(argv)
 
     w = args.work_dir
@@ -142,6 +148,8 @@ def main(argv=None) -> int:
             cmd += ["--lr", args.lr]
         if args.device_augment:
             cmd.append("--device-augment")
+        if args.device_cache:
+            cmd.append("--device-cache")
         run(cmd, logs / "train.log")
     best = weights / "best_model_accuracy"
 

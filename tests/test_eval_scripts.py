@@ -243,3 +243,48 @@ def test_av_shift_moves_audio_not_video(rng):
     # edge-padded with the last column.
     assert np.array_equal(a2[:, :12], a[:, 4:])
     assert np.array_equal(a2[:, 12:], np.repeat(a[:, -1:], 4, axis=1))
+
+
+def test_eval_cross_tier_matrix(tmp_path, monkeypatch):
+    """eval_cross_tier assembles one validate_pipeline run per tier and
+    emits the transfer matrix (union-model eval harness)."""
+    import eval_cross_tier as ect
+
+    calls = []
+
+    def fake_run(cmd, cwd, text, stdout, stderr):
+        calls.append([str(c) for c in cmd])
+        out_dir = Path(cmd[cmd.index("--output-dir") + 1])
+        out_dir.mkdir(parents=True, exist_ok=True)
+        (out_dir / "metrics.json").write_text(json.dumps({
+            "roc_auc": 0.9, "accuracy": 0.85, "f1": 0.8,
+            "precision": 0.8, "recall": 0.8, "total": 10,
+        }))
+        return SimpleNamespace(returncode=0, stdout="")
+
+    monkeypatch.setattr(ect.subprocess, "run", fake_run)
+    out = tmp_path / "xtier.json"
+    ect.main([
+        "--model-path", "/w/best_model_accuracy",
+        "--model-name", "union",
+        "--test-dir", "hardened=/pre/h",
+        "--test-dir", "phoneme=/pre/p",
+        "--calibration-platt-a", "0.7", "--calibration-platt-b", "0.3",
+        "--output", str(out),
+    ])
+    got = json.loads(out.read_text())
+    assert got["model"] == "union"
+    assert set(got["tiers"]) == {"hardened", "phoneme"}
+    assert got["tiers"]["phoneme"]["roc_auc"] == 0.9
+    # each run got the model, its tier's dir, and the platt terms
+    assert len(calls) == 2
+    for cmd, pre in zip(calls, ("/pre/h", "/pre/p")):
+        assert "/w/best_model_accuracy" in cmd and pre in cmd
+        assert "platt" in cmd and "0.7" in cmd and "0.3" in cmd
+
+
+def test_eval_cross_tier_rejects_bad_spec(tmp_path):
+    import eval_cross_tier as ect
+
+    with pytest.raises(SystemExit):
+        ect.main(["--model-path", "/w/m", "--test-dir", "no-equals-dir"])
