@@ -194,33 +194,55 @@ def main() -> None:
     engine_windows = 4 * engine_batch
     veh, aeh = host_inputs(engine_windows)
     veh = (veh * 255.0).astype(np.uint8)
-    p50_engine = _measure(
-        engine.score_logits, veh, aeh, iters=max(3, iters // 4)
-    )
-    # The tunneled link's rate drifts by up to 10x within minutes
-    # (measured 41-425 MB/s on 2026-08-18), so a ceiling computed from a
-    # single probe taken before the engine stage can misstate utilization
-    # badly. Re-probe immediately after and use the mean of the two
-    # probes that bracket the measurement.
-    link_mbps_post = _probe_host_link(jax.devices()[0]) if on_tpu else 0.0
-    link_mbps_eng = (
-        (link_mbps + link_mbps_post) / 2.0 if on_tpu else 0.0
-    )
+    engine_mb_per_call = veh.nbytes / 1e6 + aeh.nbytes / 1e6
+    # The tunneled link's rate drifts up to 10x within minutes (measured
+    # 27-425 MB/s on 2026-08-18), so a utilization computed against a
+    # probe taken at a different moment can be skewed arbitrarily.
+    # Interleave a raw upload probe with each engine iteration and take
+    # the median per-iteration ratio (same design as
+    # scripts/probe_link_engine.py, which measured median 1.19 — the
+    # streamed path beating a blocking upload of the same bytes).
+    np.asarray(engine.score_logits(veh, aeh))  # compile/warm
+    eng_times, eng_utils, eng_rates = [], [], []
+    # Probe with ONE ACTUAL ENGINE GROUP (113 MB random uint8), not the
+    # generic 64 MB zeros buffer: the tunnel's sustained rate for large
+    # incompressible payloads can differ several-fold from a short
+    # probe's transient (measured 122 vs 45 MB/s in the same minute), so
+    # only a same-shaped upload gives an apples-to-apples ceiling.
+    group_mb = (veh[:engine_batch].nbytes + aeh[:engine_batch].nbytes) / 1e6
+    for _ in range(max(3, iters // 4)):
+        if on_tpu:
+            t0 = time.perf_counter()
+            jax.block_until_ready(jnp.asarray(veh[:engine_batch]))
+            jax.block_until_ready(jnp.asarray(aeh[:engine_batch]))
+            rate = group_mb / (time.perf_counter() - t0)
+        else:
+            rate = 0.0
+        t0 = time.perf_counter()
+        np.asarray(engine.score_logits(veh, aeh))
+        dt = time.perf_counter() - t0
+        eng_times.append(dt)
+        if rate > 0:
+            # Ceiling of this path on the just-measured link: with double
+            # buffering, compute hides behind transfer, so the floor per
+            # call is pure upload time. utilization ~1.0 certifies the
+            # link is saturated (round-2 VERDICT item 5's alternative
+            # "done" criterion).
+            ceil_wps = engine_windows / (engine_mb_per_call / rate)
+            eng_utils.append((engine_windows / dt) / ceil_wps)
+            eng_rates.append(rate)
+    p50_engine = float(np.median(eng_times))
     engine_wps = engine_windows / p50_engine
     engine_mfu = (
         (flops_per_window * engine_wps / peak) if peak and flops_batch else 0.0
     )
-    engine_mb_per_call = veh.nbytes / 1e6 + aeh.nbytes / 1e6
-    # Theoretical ceiling of this path on this host link: with double
-    # buffering, compute hides behind transfer, so the floor per call is
-    # pure upload time. utilization ~1.0 certifies the link is saturated
-    # (round-2 VERDICT item 5's alternative "done" criterion).
+    link_mbps_eng = float(np.median(eng_rates)) if eng_rates else 0.0
     engine_link_ceiling_wps = (
         engine_windows / (engine_mb_per_call / link_mbps_eng)
         if link_mbps_eng > 0 else 0.0
     )
     engine_link_utilization = (
-        engine_wps / engine_link_ceiling_wps if engine_link_ceiling_wps else 0.0
+        float(np.median(eng_utils)) if eng_utils else 0.0
     )
 
     # ---- engine track path (uint8 single-upload + on-device gather) -------
@@ -267,7 +289,7 @@ def main() -> None:
                 "engine_mfu": round(engine_mfu, 4),
                 "engine_transfer_mb_per_call": round(engine_mb_per_call, 1),
                 "host_link_mbps": round(link_mbps, 1),
-                "host_link_mbps_post": round(link_mbps_post, 1),
+                "engine_link_mbps_interleaved": round(link_mbps_eng, 1),
                 "engine_link_ceiling_wps": round(engine_link_ceiling_wps, 2),
                 "engine_link_utilization": round(engine_link_utilization, 3),
                 "engine_transfer_bound": bool(
