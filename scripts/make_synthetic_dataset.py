@@ -298,13 +298,74 @@ def _scramble_vowels(syllables: list, rng) -> list:
     return out
 
 
+PHONEME_FAKE_MODES = ("shift", "swap", "scramble", "warp", "splice")
+
+
+def _warp_time_map(n: int, sr: int, rng) -> np.ndarray:
+    """Smooth local time-warp map in samples: tau(t) = t + d(t), with
+    d a sum of two slow sinusoids whose peak deviation is 0.15-0.3 s.
+
+    Unlike the GLOBAL 0.25-0.8 s shifts the training fakes use, a warp
+    drifts in and out of sync WITHIN the clip — some windows are
+    perfectly aligned, others are off by up to ~300 ms — so it probes
+    generalization to a misalignment structure never seen in training.
+    """
+    t = np.arange(n) / sr
+    amp = rng.uniform(0.15, 0.30)
+    a1 = amp * rng.uniform(0.6, 1.0)
+    a2 = amp - a1 if amp > a1 else 0.0
+    f1_, f2_ = rng.uniform(0.25, 0.6), rng.uniform(0.7, 1.2)
+    # Keep tau monotone (no reversed mouth motion): |d'| <= sum a_k*2*pi*f_k
+    # must stay < 1; scale the deviation down if the sampled combo exceeds
+    # a 0.8 slope budget.
+    slope = 2 * np.pi * (a1 * f1_ + a2 * f2_)
+    if slope > 0.8:
+        a1, a2 = a1 * 0.8 / slope, a2 * 0.8 / slope
+    d = a1 * np.sin(2 * np.pi * f1_ * t + rng.uniform(0, 2 * np.pi))
+    d += a2 * np.sin(2 * np.pi * f2_ * t + rng.uniform(0, 2 * np.pi))
+    return np.clip((t + d) * sr, 0, n - 1)
+
+
+def _splice_audio(pcm: np.ndarray, pcm_other: np.ndarray, sr: int,
+                  rng) -> np.ndarray:
+    """Replace the middle ~third of ``pcm`` with the same span of
+    ``pcm_other``, 30 ms crossfaded at both seams so the splice leaves
+    no click (the detector must key on A/V desync inside the spliced
+    span, not on an audio artifact). Partial fakes exercise the
+    clip-verdict aggregation policy (reference confidence weighting,
+    app/inference/predictor.py — see lipsync_tpu/inference/policy.py):
+    2/3 of the windows remain genuinely synced."""
+    n = len(pcm)
+    start = int(n * rng.uniform(0.30, 0.38))
+    end = int(n * rng.uniform(0.62, 0.70))
+    k = int(0.03 * sr)
+    out = pcm.copy()
+    out[start:end] = pcm_other[start:end]
+    ramp = np.linspace(0.0, 1.0, k, dtype=pcm.dtype)
+    out[start:start + k] = (pcm[start:start + k] * (1 - ramp)
+                            + pcm_other[start:start + k] * ramp)
+    out[end - k:end] = (pcm_other[end - k:end] * (1 - ramp)
+                        + pcm[end - k:end] * ramp)
+    return out
+
+
 def write_phoneme_pair(
-    args, rng, real_dir: Path, fake_dir: Path, i: int
+    args, rng, real_dir: Path, fake_dir: Path, i: int,
+    modes: tuple = ("shift", "swap", "scramble"),
 ) -> None:
-    """One real + one fake phoneme-style clip. Fake modes cycle:
-    time-shift (same articulation, audio delayed 0.25-0.8 s), audio-swap
-    (independent clip's audio), vowel-scramble (same timing, different
-    vowels — loudness-matched)."""
+    """One real + one fake phoneme-style clip. Fake constructions (the
+    pair's mode is ``modes[i % len(modes)]``):
+
+    - ``shift``: same articulation, audio delayed 0.25-0.8 s globally
+    - ``swap``: audio from an independent articulation stream
+    - ``scramble``: same timing/stress, different vowels (loudness-matched)
+    - ``warp``: smooth LOCAL time-warp of the visual tracks (peak
+      0.15-0.3 s, drifting in and out of sync within the clip) — held
+      out of training as an unseen construction
+    - ``splice``: fully real clip whose middle ~third of AUDIO is an
+      independent clip's (30 ms crossfade; partial fake) — held out of
+      training as an unseen construction
+    """
     sr, fps, seconds = args.sr, args.fps, args.seconds
     syl = sample_syllables(seconds, rng)
     o, w_, r, f1, f2, voiced = phoneme_tracks(syl, seconds, sr, rng)
@@ -315,11 +376,11 @@ def write_phoneme_pair(
     )
     write_video(real_dir / f"real_{i:04d}.avi", frames, fps, pcm, sr)
 
-    mode = ("shift", "swap", "scramble")[i % 3] if args.hard_negatives \
-        else "swap"
+    mode = modes[i % len(modes)]
     syl_a = sample_syllables(seconds, rng)
     oa, wa, ra, f1a, f2a, va = phoneme_tracks(syl_a, seconds, sr, rng)
     pcm_a = synth_phoneme_audio(f1a, f2a, va, sr, rng)
+    pcm_f = pcm_a
     if mode == "shift":
         shift = int(rng.uniform(0.25, 0.8) * sr)
         ov, wv, rv = (np.roll(x, shift) for x in (oa, wa, ra))
@@ -327,14 +388,25 @@ def write_phoneme_pair(
         ov, wv, rv, _, _, _ = phoneme_tracks(
             _scramble_vowels(syl_a, rng), seconds, sr, rng
         )
+    elif mode == "warp":
+        tau = _warp_time_map(len(oa), sr, rng)
+        base = np.arange(len(oa))
+        ov, wv, rv = (np.interp(tau, base, x) for x in (oa, wa, ra))
+    elif mode == "splice":
+        ov, wv, rv = oa, wa, ra
+        syl_c = sample_syllables(seconds, rng)
+        _, _, _, f1c, f2c, vc = phoneme_tracks(syl_c, seconds, sr, rng)
+        pcm_f = _splice_audio(
+            pcm_a, synth_phoneme_audio(f1c, f2c, vc, sr, rng), sr, rng
+        )
     else:  # swap: visual from an independent articulation stream
         syl_b = sample_syllables(seconds, rng)
         ov, wv, rv, _, _, _ = phoneme_tracks(syl_b, seconds, sr, rng)
     frames = render_phoneme_clip(
-        ov, wv, rv, pcm_a, seconds, fps, sr, rng,
+        ov, wv, rv, pcm_f, seconds, fps, sr, rng,
         jitter=args.jitter, head_motion=not args.no_head_motion,
     )
-    write_video(fake_dir / f"fake_{i:04d}.avi", frames, fps, pcm_a, sr)
+    write_video(fake_dir / f"fake_{i:04d}.avi", frames, fps, pcm_f, sr)
 
 
 def main(argv=None) -> int:
@@ -358,6 +430,13 @@ def main(argv=None) -> int:
                         " — mouth SHAPE tracks formant content (round-3)")
     p.add_argument("--no-head-motion", action="store_true",
                    help="phoneme style: disable the slow head drift")
+    p.add_argument("--fake-modes", default=None,
+                   help="phoneme style: comma list of fake constructions "
+                        f"to cycle ({','.join(PHONEME_FAKE_MODES)}). "
+                        "Default: shift,swap,scramble with "
+                        "--hard-negatives, else swap. warp/splice are "
+                        "reserved for unseen-construction evals "
+                        "(scripts/eval_unseen_fakes.py)")
     args = p.parse_args(argv)
 
     real_dir = args.output_dir / "0_real"
@@ -367,10 +446,22 @@ def main(argv=None) -> int:
     rng = np.random.RandomState(args.seed)
 
     if args.style == "phoneme":
+        if args.fake_modes:
+            modes = tuple(m.strip() for m in args.fake_modes.split(","))
+            bad = [m for m in modes if m not in PHONEME_FAKE_MODES]
+            if bad:
+                p.error(f"unknown fake mode(s) {bad}; "
+                        f"choose from {PHONEME_FAKE_MODES}")
+        elif args.hard_negatives:
+            modes = ("shift", "swap", "scramble")
+        else:
+            modes = ("swap",)
         for i in range(args.n_per_class):
-            write_phoneme_pair(args, rng, real_dir, fake_dir, i)
+            write_phoneme_pair(args, rng, real_dir, fake_dir, i,
+                               modes=modes)
         print(f"Wrote {args.n_per_class} real + {args.n_per_class} fake "
-              f"phoneme-style clips to {args.output_dir}")
+              f"phoneme-style clips to {args.output_dir} "
+              f"(fake modes: {','.join(modes)})")
         return 0
 
     for i in range(args.n_per_class):

@@ -288,3 +288,90 @@ def test_eval_cross_tier_rejects_bad_spec(tmp_path):
 
     with pytest.raises(SystemExit):
         ect.main(["--model-path", "/w/m", "--test-dir", "no-equals-dir"])
+
+
+# ── unseen fake constructions (make_synthetic_dataset warp/splice) ──────
+
+
+def test_warp_time_map_bounded_and_monotone(rng):
+    import make_synthetic_dataset as msd
+
+    sr, n = 16000, 3 * 16000
+    for seed in range(5):
+        tau = msd._warp_time_map(n, sr, np.random.RandomState(seed))
+        dev = np.abs(tau - np.arange(n)) / sr
+        assert dev.max() <= 0.30 + 1e-6      # peak deviation <= 0.3 s
+        assert dev.max() >= 0.05             # actually warps
+        assert np.all(np.diff(tau) > 0) or np.all(np.diff(tau) >= 0)
+        assert tau.min() >= 0 and tau.max() <= n - 1
+
+
+def test_splice_audio_replaces_middle_only(rng):
+    import make_synthetic_dataset as msd
+
+    sr = 16000
+    n = 3 * sr
+    pcm = np.full(n, 0.25, np.float32)
+    other = np.full(n, -0.5, np.float32)
+    out = msd._splice_audio(pcm, other, sr, np.random.RandomState(0))
+    k = int(0.03 * sr)
+    # Outer thirds untouched, inner span replaced, seams in between.
+    assert np.array_equal(out[: int(n * 0.30)], pcm[: int(n * 0.30)])
+    assert np.array_equal(out[int(n * 0.70):], pcm[int(n * 0.70):])
+    mid = out[int(n * 0.38) + k: int(n * 0.62) - k]
+    assert np.array_equal(mid, other[int(n * 0.38) + k: int(n * 0.62) - k])
+    # Crossfade seams stay within the two sources' range (no click spike).
+    assert out.min() >= -0.5 - 1e-6 and out.max() <= 0.25 + 1e-6
+
+
+def test_generator_fake_modes_cli(tmp_path):
+    import make_synthetic_dataset as msd
+
+    out = tmp_path / "ds"
+    rc = msd.main(["--output-dir", str(out), "--n-per-class", "2",
+                   "--seconds", "1.0", "--style", "phoneme",
+                   "--fake-modes", "warp,splice", "--seed", "3"])
+    assert rc == 0
+    assert len(list((out / "0_real").glob("*.avi"))) == 2
+    assert len(list((out / "1_fake").glob("*.avi"))) == 2
+
+    with pytest.raises(SystemExit):
+        msd.main(["--output-dir", str(out), "--n-per-class", "1",
+                  "--style", "phoneme", "--fake-modes", "nonsense"])
+
+
+def test_eval_unseen_fakes_pipeline(tmp_path, monkeypatch):
+    """The harness generates+precomputes one dir per construction, scores
+    each with the model, and annotates seen vs unseen."""
+    import eval_unseen_fakes as euf
+
+    steps = []
+
+    def fake_run(cmd, log):
+        steps.append([str(c) for c in cmd])
+
+    def fake_score(model_path, pre_dir, out_dir, a, b, limit, bs):
+        assert model_path == "/w/m" and a == 0.7 and b == -0.1
+        return {"roc_auc": 0.95, "recall": 0.9, "total": 20}
+
+    monkeypatch.setattr(euf, "run", fake_run)
+    monkeypatch.setattr(euf, "score_tier", fake_score)
+    out = tmp_path / "unseen.json"
+    euf.main(["--model-path", "/w/m", "--work-dir", str(tmp_path / "w"),
+              "--n-per-class", "10",
+              "--calibration-platt-a", "0.7",
+              "--calibration-platt-b", "-0.1",
+              "--output", str(out)])
+    got = json.loads(out.read_text())
+    assert set(got["constructions"]) == {
+        "shift", "swap", "scramble", "warp", "splice"}
+    assert got["constructions"]["warp"]["unseen"] is True
+    assert got["constructions"]["shift"]["unseen"] is False
+    # one generate + one precompute step per construction, with the
+    # construction passed as --fake-modes and a distinct seed
+    gens = [s for s in steps if "make_synthetic_dataset.py" in s[1]]
+    assert len(gens) == 5
+    seeds = {s[s.index("--seed") + 1] for s in gens}
+    assert len(seeds) == 5
+    for s in gens:
+        assert s[s.index("--fake-modes") + 1] in got["constructions"]
