@@ -143,33 +143,38 @@ class ScoringEngine:
             )
 
         self.shared_visual_encoding = bool(shared_visual_encoding)
-        if self.shared_visual_encoding and mesh is not None:
-            # The two knobs compose poorly on the long-video path: the
-            # track's crops replicate, so the FLOP-dominant whole-track
-            # encode_visual runs redundantly on every device and only the
-            # cheap post-encoder stages shard. With >=4 devices the
-            # non-shared path (windows sharded, 4x FLOPs / n_dev) is
-            # faster — prefer ONE of shared_visual_encoding or
-            # data_parallel_devices for long videos.
-            logger.warning(
-                "shared_visual_encoding with a %d-device mesh: the track "
-                "encode runs replicated on every device; data parallelism "
-                "only applies to post-encoder stages. Prefer one knob or "
-                "the other for long videos.", mesh.devices.size,
-            )
         track_fn = (
             track_forward_shared if self.shared_visual_encoding
             else track_forward
         )
         if mesh is not None:
-            # Long-video serving path: the track's crops replicate (every
-            # chip gathers its own windows from them); the window batch
-            # (starts + audio) shards, so window forwards spread across the
-            # slice just like score_logits.
+            # Long-video serving path, two sharding layouts:
+            #
+            # - per-window (default): the track's crops REPLICATE (small —
+            #   a 1000-frame track is ~27 MB uint8; every chip gathers its
+            #   own windows locally with no collectives) and the window
+            #   batch (starts + audio) shards, so the FLOP-heavy window
+            #   forwards spread across the slice like score_logits.
+            # - shared encoding: the whole-track encode_visual IS the
+            #   FLOPs, so replicating the crops would run it redundantly
+            #   on every device. Instead the crop sequence shards over its
+            #   FRAME axis (track lengths are padded to 32*2^k in
+            #   dispatch_track_logits, so they divide any power-of-two
+            #   mesh): XLA's SPMD partitioner runs the temporal R(2+1)D
+            #   convs as a halo-exchange spatially-partitioned conv, and
+            #   the per-window feature/pixel gathers lower to collective
+            #   permutes over ICI. Equality vs the single-device path is
+            #   tested on an 8-virtual-device CPU mesh
+            #   (tests/test_predictor.py).
+            crops_sharding = (
+                mesh_lib.batch_sharding(mesh)  # axis 0 = frames
+                if self.shared_visual_encoding
+                else mesh_lib.replicated(mesh)
+            )
             self._track_fwd = jax.jit(
                 track_fn,
                 in_shardings=(
-                    mesh_lib.replicated(mesh),
+                    crops_sharding,
                     mesh_lib.batch_sharding(mesh),
                     mesh_lib.batch_sharding(mesh),
                 ),
@@ -323,6 +328,12 @@ class ScoringEngine:
         n_pad = chunk
         while n_pad < n_needed:
             n_pad *= 2
+        if self.mesh is not None and self.shared_visual_encoding:
+            # Frame-sharded shared encode: the crop axis must divide the
+            # mesh (power-of-two meshes always do — n_pad is 32*2^k —
+            # but a 6-device mesh needs the round-up).
+            n_dev = int(self.mesh.devices.size)
+            n_pad = ((n_pad + n_dev - 1) // n_dev) * n_dev
         if n_pad != n:
             crops = np.concatenate(
                 [crops, np.repeat(crops[-1:], n_pad - n, axis=0)], axis=0

@@ -492,3 +492,46 @@ def test_quantized_int8_knob_reaches_load_engine(monkeypatch, tmp_path):
     (tmp_path / "w.pth").write_bytes(b"x")
     Predictor(model_path=tmp_path / "w.pth", config=pc)
     assert captured.get("quantized_int8") is True
+
+
+def test_shared_encoding_sharded_over_mesh(tiny_engine_shared, rng):
+    """Shared-track encoding with a data mesh: the crop sequence shards
+    over its FRAME axis, so the whole-track encode (the FLOPs of this
+    path) spreads across the slice via XLA's spatially-partitioned conv
+    instead of running replicated on every device — same logits as the
+    single-device shared path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lipsync_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(8)
+    sharded = ScoringEngine(
+        tiny_engine_shared._variables, TINY, use_bfloat16=False,
+        mesh=mesh, shared_visual_encoding=True,
+    )
+    crops = rng.rand(20, 32, 32, 3).astype(np.float32)
+    starts = [0, 4, 8, 12]
+    audio = (rng.rand(4, 80, 32).astype(np.float32) * 60) - 60
+    got = sharded.score_track_logits(crops, starts, audio)
+    want = tiny_engine_shared.score_track_logits(crops, starts, audio)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_shared_encoding_nonpow2_mesh(tiny_engine_shared, rng):
+    """A 6-device mesh doesn't divide the 2^k crop padding; the engine
+    rounds the frame axis up to a device multiple."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lipsync_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(6)
+    sharded = ScoringEngine(
+        tiny_engine_shared._variables, TINY, use_bfloat16=False,
+        mesh=mesh, shared_visual_encoding=True,
+    )
+    crops = rng.rand(20, 32, 32, 3).astype(np.float32)
+    starts = [0, 4, 8, 12]
+    audio = (rng.rand(4, 80, 32).astype(np.float32) * 60) - 60
+    got = sharded.score_track_logits(crops, starts, audio)
+    want = tiny_engine_shared.score_track_logits(crops, starts, audio)
+    np.testing.assert_allclose(got, want, atol=1e-4)
