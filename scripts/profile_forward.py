@@ -82,6 +82,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--artifact-detail", action="store_true",
+                   help="additionally profile the artifact branch's "
+                        "sub-stages (temporal detector, Laplacian conv, "
+                        "HF conv1/conv2) to localize its low MFU "
+                        "(SURVEY §7.8: Laplacian+Conv3d is a Pallas "
+                        "candidate)")
     args = p.parse_args()
 
     cfg = ModelConfig()
@@ -150,6 +156,42 @@ def main() -> None:
         v_map, cls_vec, visual.astype(dtype))
     add("classifier",
         ClassificationHead(hidden_dim=128, dtype=dtype), combined)
+
+    if args.artifact_detail:
+        from flax import linen as fl_nn
+
+        from lipsync_tpu.models.artifact import (
+            HighFrequencyDetector,
+            TemporalInconsistencyDetector,
+            _laplacian_kernel_3ch,
+        )
+        from lipsync_tpu.models.layers import ConvBNAct
+
+        vid = visual.astype(dtype)
+        add("artifact/temporal_detector",
+            TemporalInconsistencyDetector(cfg.visual_feature_dim,
+                                          dtype=dtype), v_map)
+        add("artifact/high_freq", HighFrequencyDetector(64, dtype=dtype),
+            vid)
+        frames = vid.reshape(-1, cfg.crop_size, cfg.crop_size, 3)
+        add("artifact/hf_laplacian",
+            fl_nn.Conv(3, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                       use_bias=False,
+                       kernel_init=lambda *_:
+                       jnp.asarray(_laplacian_kernel_3ch()),
+                       dtype=dtype),
+            frames)
+        add("artifact/hf_conv1",
+            ConvBNAct(32, kernel_size=(3, 3, 3), strides=(1, 2, 2),
+                      padding=((1, 1),) * 3, use_bias=True, dtype=dtype),
+            vid)
+        hf1 = jnp.asarray(
+            rng.rand(b, cfg.video_frames, cfg.crop_size // 2,
+                     cfg.crop_size // 2, 32), dtype)
+        add("artifact/hf_conv2",
+            ConvBNAct(64, kernel_size=(3, 3, 3), strides=(1, 2, 2),
+                      padding=((1, 1),) * 3, use_bias=True, dtype=dtype),
+            hf1)
 
     model = LipSyncModel(cfg, dtype=dtype)
     cpu = jax.local_devices(backend="cpu")[0]
