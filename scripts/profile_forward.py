@@ -43,11 +43,27 @@ PEAK = {"tpu": 197e12, "cpu": 1e11}
 
 
 def _time(fn, *args, iters=10):
-    jax.block_until_ready(fn(*args))
+    """Median seconds per call, completion forced by a scalar readback.
+
+    ``jax.block_until_ready`` is NOT a reliable completion barrier on the
+    remote axon runtime — a 905 MB conv "completed" in 50 us under it
+    (measured 2026-08-18) while a readback-forced timing of the same
+    program took ~21 ms + RTT. Summing to a scalar and pulling it to the
+    host forces real completion at the cost of one fused reduction; the
+    ~23-25 ms tunnel round-trip floor rides on every sample (reported
+    separately as ``rtt_floor_ms`` so readers can subtract it — stages
+    near the floor are dispatch-bound, not compute-bound).
+    """
+    def run():
+        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+
+    run()
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        run()
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -203,11 +219,18 @@ def main() -> None:
     t_full = _time(full, variables, visual, audio, iters=args.iters)
     f_full = _flops(full, variables, visual, audio)
 
+    # Dispatch/readback floor of this host<->device link: a trivial
+    # program timed the same way. Stage rows within ~a few ms of this are
+    # dispatch-bound; subtract it when comparing stage costs.
+    rtt_floor = _time(jax.jit(lambda v: v[:1, :1, :1, :1] * 1.0), visual,
+                      iters=args.iters)
+
     total_stage_ms = sum(s["ms"] for s in stages.values())
     report = {
         "batch": b,
         "platform": platform,
         "dtype": str(dtype.__name__),
+        "rtt_floor_ms": round(rtt_floor * 1e3, 2),
         "stages": stages,
         "full_forward_ms": round(t_full * 1e3, 2),
         "full_gflops": round(f_full / 1e9, 1),

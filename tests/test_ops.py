@@ -238,3 +238,37 @@ def test_int8_model_lowering_tracks_fp_logits(rng):
     lq = np.asarray(q.apply(variables, v, a))
     dprob = np.abs(1 / (1 + np.exp(-lf)) - 1 / (1 + np.exp(-lq)))
     assert dprob.max() < 5e-3, dprob.max()
+
+
+def test_pallas_hf_stem_matches_xla(rng):
+    """Fused Laplacian+conv1 kernel vs the XLA reference path (interpret
+    mode). The kernel measured SLOWER than XLA on the real chip and is
+    NOT wired into the model (hf_stem.py docstring records the pass);
+    this test keeps the reference implementation honest."""
+    import jax
+
+    from lipsync_tpu.ops.pallas.hf_stem import hf_stem_fused
+
+    B, T, H = 2, 4, 16
+    v = jnp.asarray(rng.rand(B, T, H, H, 3), jnp.float32)
+    wlap = jnp.asarray(rng.randn(3, 3, 3, 3) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.randn(3, 3, 3, 3, 32) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.randn(32) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.rand(32) + 0.5, jnp.float32)
+    bb = jnp.asarray(rng.randn(32) * 0.1, jnp.float32)
+    mu = jnp.asarray(rng.randn(32) * 0.1, jnp.float32)
+    var = jnp.asarray(rng.rand(32) + 0.5, jnp.float32)
+
+    f = v.reshape(-1, H, H, 3)
+    lap = jax.lax.conv_general_dilated(
+        f, wlap, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        lap.reshape(B, T, H, H, 3), w1, (1, 2, 2),
+        ((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC")) + b1
+    want = jnp.maximum((y - mu) / jnp.sqrt(var + 1e-5) * g + bb, 0.0)
+
+    got = hf_stem_fused(v, wlap, w1, b1, g, bb, mu, var, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
