@@ -14,6 +14,9 @@ set PER construction — including two held-out-of-training ones:
                synced; exercises the clip-verdict aggregation policy
                (reference app/inference/predictor.py confidence
                weighting, re-designed in lipsync_tpu/inference/policy.py)
+- ``freeze`` — partial fake: the visual articulation holds still for
+               0.5-1.0 s while audio continues (the classic face-swap
+               dropped-frames artifact)
 
 and scores a single model on each through the full production evaluation
 path (validate_pipeline, same scoring the reference's
@@ -41,7 +44,7 @@ sys.path.insert(0, str(REPO / "scripts"))
 from eval_cross_tier import score_tier  # noqa: E402
 
 SEEN = ("shift", "swap", "scramble")
-UNSEEN = ("warp", "splice")
+UNSEEN = ("warp", "splice", "freeze")
 
 
 def run(cmd: list, log: Path) -> None:

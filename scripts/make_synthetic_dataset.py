@@ -298,7 +298,8 @@ def _scramble_vowels(syllables: list, rng) -> list:
     return out
 
 
-PHONEME_FAKE_MODES = ("shift", "swap", "scramble", "warp", "splice")
+PHONEME_FAKE_MODES = ("shift", "swap", "scramble", "warp", "splice",
+                      "freeze")
 
 
 def _warp_time_map(n: int, sr: int, rng) -> np.ndarray:
@@ -365,6 +366,10 @@ def write_phoneme_pair(
     - ``splice``: fully real clip whose middle ~third of AUDIO is an
       independent clip's (30 ms crossfade; partial fake) — held out of
       training as an unseen construction
+    - ``freeze``: visual articulation holds still for a 0.5-1.0 s span
+      mid-clip while the audio continues (the classic face-swap
+      dropped-frames artifact; partial fake) — held out of training as
+      an unseen construction
     """
     sr, fps, seconds = args.sr, args.fps, args.seconds
     syl = sample_syllables(seconds, rng)
@@ -399,6 +404,13 @@ def write_phoneme_pair(
         pcm_f = _splice_audio(
             pcm_a, synth_phoneme_audio(f1c, f2c, vc, sr, rng), sr, rng
         )
+    elif mode == "freeze":
+        n = len(oa)
+        start = int(n * rng.uniform(0.25, 0.5))
+        end = min(start + int(rng.uniform(0.5, 1.0) * sr), n)
+        ov, wv, rv = (x.copy() for x in (oa, wa, ra))
+        for x in (ov, wv, rv):
+            x[start:end] = x[start]
     else:  # swap: visual from an independent articulation stream
         syl_b = sample_syllables(seconds, rng)
         ov, wv, rv, _, _, _ = phoneme_tracks(syl_b, seconds, sr, rng)

@@ -328,12 +328,13 @@ def test_generator_fake_modes_cli(tmp_path):
     import make_synthetic_dataset as msd
 
     out = tmp_path / "ds"
-    rc = msd.main(["--output-dir", str(out), "--n-per-class", "2",
+    rc = msd.main(["--output-dir", str(out), "--n-per-class", "3",
                    "--seconds", "1.0", "--style", "phoneme",
-                   "--fake-modes", "warp,splice", "--seed", "3"])
+                   "--fake-modes", "warp,splice,freeze", "--seed", "3"])
     assert rc == 0
-    assert len(list((out / "0_real").glob("*.avi"))) == 2
-    assert len(list((out / "1_fake").glob("*.avi"))) == 2
+    # n=3 cycles through all three modes, so each construction renders
+    assert len(list((out / "0_real").glob("*.avi"))) == 3
+    assert len(list((out / "1_fake").glob("*.avi"))) == 3
 
     with pytest.raises(SystemExit):
         msd.main(["--output-dir", str(out), "--n-per-class", "1",
@@ -364,14 +365,14 @@ def test_eval_unseen_fakes_pipeline(tmp_path, monkeypatch):
               "--output", str(out)])
     got = json.loads(out.read_text())
     assert set(got["constructions"]) == {
-        "shift", "swap", "scramble", "warp", "splice"}
+        "shift", "swap", "scramble", "warp", "splice", "freeze"}
     assert got["constructions"]["warp"]["unseen"] is True
     assert got["constructions"]["shift"]["unseen"] is False
     # one generate + one precompute step per construction, with the
     # construction passed as --fake-modes and a distinct seed
     gens = [s for s in steps if "make_synthetic_dataset.py" in s[1]]
-    assert len(gens) == 5
+    assert len(gens) == 6
     seeds = {s[s.index("--seed") + 1] for s in gens}
-    assert len(seeds) == 5
+    assert len(seeds) == 6
     for s in gens:
         assert s[s.index("--fake-modes") + 1] in got["constructions"]
