@@ -25,11 +25,34 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def merge(sources, out_dir: Path, prefixes=None, copy: bool = False) -> int:
+def _limit_balanced(records, limit):
+    """First ``limit`` records, alternating labels so the subset stays
+    class-balanced regardless of manifest order."""
+    if limit is None or len(records) <= limit:
+        return records
+    by_label: dict = {}
+    for r in records:
+        by_label.setdefault(r.get("label"), []).append(r)
+    pools = list(by_label.values())
+    out, i = [], 0
+    while len(out) < limit and any(pools):
+        pool = pools[i % len(pools)]
+        if pool:
+            out.append(pool.pop(0))
+        i += 1
+    return out
+
+
+def merge(sources, out_dir: Path, prefixes=None, copy: bool = False,
+          limit_per_source=None) -> int:
     sources = [Path(s) for s in sources]
     prefixes = prefixes or [f"d{i}" for i in range(len(sources))]
     if len(prefixes) != len(sources):
         raise SystemExit("--prefixes must match the number of sources")
+    if limit_per_source and len(limit_per_source) != len(sources):
+        raise SystemExit(
+            "--limit-per-source must match the number of sources"
+        )
     out_dir.mkdir(parents=True, exist_ok=True)
 
     transfer = shutil.copytree if copy else (
@@ -41,7 +64,7 @@ def merge(sources, out_dir: Path, prefixes=None, copy: bool = False) -> int:
 
     out_records = []
     zarr_out = out_dir / "samples.zarr"
-    for src, prefix in zip(sources, prefixes):
+    for si, (src, prefix) in enumerate(zip(sources, prefixes)):
         manifest = src / "manifest.jsonl"
         if not manifest.is_file():
             raise SystemExit(f"No manifest.jsonl in {src}")
@@ -49,10 +72,19 @@ def merge(sources, out_dir: Path, prefixes=None, copy: bool = False) -> int:
             raise SystemExit(
                 f"{src} uses LMDB storage — convert to zarr/npy first"
             )
-        for line in manifest.read_text().splitlines():
-            if not line.strip():
-                continue
-            rec = json.loads(line)
+        src_records = [
+            json.loads(line)
+            for line in manifest.read_text().splitlines() if line.strip()
+        ]
+        if limit_per_source:
+            # HBM budgeting for --device-cache training: the whole union
+            # must fit on-device (a 6,800-clip union OOMed v5e-1 at
+            # 9.6 GB cache + train-step activations; capping the largest
+            # source is the fix — see BENCHMARKS.md grand-union run)
+            src_records = _limit_balanced(
+                src_records, limit_per_source[si]
+            )
+        for rec in src_records:
             key = rec["key"]
             new_key = f"{prefix}_{key}"
             rec["key"] = new_key
@@ -97,8 +129,16 @@ def main() -> None:
                     help="Per-source key prefixes (default d0, d1, ...)")
     ap.add_argument("--copy", action="store_true",
                     help="Copy tensor payloads instead of symlinking")
+    ap.add_argument("--limit-per-source", nargs="+", type=int,
+                    default=None, metavar="N",
+                    help="Cap each source at N records (0 = no cap), "
+                         "class-balanced; one value per source. Keeps "
+                         "--device-cache unions inside HBM")
     args = ap.parse_args()
-    merge(args.sources, args.out, args.prefixes, args.copy)
+    limits = None
+    if args.limit_per_source:
+        limits = [n if n > 0 else None for n in args.limit_per_source]
+    merge(args.sources, args.out, args.prefixes, args.copy, limits)
 
 
 if __name__ == "__main__":

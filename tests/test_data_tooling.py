@@ -153,3 +153,42 @@ def test_merge_preprocessed_dirs(tmp_path, rng):
     assert fills[0] == fills[1] == fills[2]   # three dim clips from a
     assert fills[3] == fills[4]               # two bright clips from b
     assert fills[3] > fills[0]
+
+
+def test_merge_limit_per_source(tmp_path):
+    """--limit-per-source caps a source class-balanced (HBM budgeting for
+    device-cache unions)."""
+    import merge_preprocessed_dirs as mpd
+
+    from lipsync_tpu.utils import zarrlite
+
+    def make_src(root, n):
+        root.mkdir()
+        g = zarrlite.open_group(root / "samples.zarr", mode="a")
+        recs = []
+        for i in range(n):
+            key = f"s_{i:03d}"
+            sub = g.require_group(key)
+            sub.create_array("visual", np.zeros((6, 8, 8, 3), np.uint8))
+            sub.create_array("audio", np.zeros((80, 40), np.float32))
+            recs.append({"key": key, "source_path": f"/x/{key}.mp4",
+                         "label": i % 2,
+                         "precompute_mode": "full_sequence",
+                         "storage_format": "zarr", "target_fps": 15.0,
+                         "mel_hz": 100.0})
+        (root / "manifest.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in recs)
+        )
+
+    make_src(tmp_path / "a", 10)
+    make_src(tmp_path / "b", 4)
+    out = tmp_path / "u"
+    n = mpd.merge([tmp_path / "a", tmp_path / "b"], out,
+                  limit_per_source=[6, None])
+    assert n == 10  # 6 capped + 4 uncapped
+    recs = [json.loads(x) for x in
+            (out / "manifest.jsonl").read_text().splitlines()]
+    a_recs = [r for r in recs if r["key"].startswith("d0_")]
+    assert len(a_recs) == 6
+    labels = [r["label"] for r in a_recs]
+    assert labels.count(0) == 3 and labels.count(1) == 3  # balanced
