@@ -54,10 +54,21 @@ class ScoringEngine:
         shared_visual_encoding: bool = False,
         max_in_flight: int = 2,
         quantized_int8: bool = False,
+        fold_hf_stem: bool = False,
     ):
         if use_bfloat16 is None:
             use_bfloat16 = jax.devices()[0].platform == "tpu"
         dtype = jnp.bfloat16 if use_bfloat16 else jnp.float32
+        if fold_hf_stem:
+            # Opt-in serving lowering: compose the HF stem's Laplacian into
+            # conv1 at trace time (one conv instead of two layout-bound
+            # 3-channel convs; artifact._FoldedStemConvBN). Param tree
+            # unchanged. Exact interior; the strided border row/col
+            # deviates vs the sequential reference numerics.
+            import dataclasses as _dc
+
+            config = _dc.replace(config, hf_stem_fold=True)
+        self.fold_hf_stem = bool(fold_hf_stem)
         if quantized_int8:
             # Opt-in quantized serving: encoder convs run int8 x int8 ->
             # int32 on the MXU (layers.Int8Conv — dynamic activation
@@ -385,6 +396,7 @@ def load_engine(
     mesh: Optional[object] = None,
     shared_visual_encoding: bool = False,
     quantized_int8: bool = False,
+    fold_hf_stem: bool = False,
 ) -> ScoringEngine:
     """Load weights (torch ``.pth`` checkpoints via the converter, or orbax
     directories) and build the engine. Mirrors the wrapper handling of
@@ -409,4 +421,5 @@ def load_engine(
         use_bfloat16=use_bfloat16, mesh=mesh,
         shared_visual_encoding=shared_visual_encoding,
         quantized_int8=quantized_int8,
+        fold_hf_stem=fold_hf_stem,
     )

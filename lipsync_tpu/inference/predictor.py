@@ -105,6 +105,11 @@ class PredictorConfig:
     # noise floor on random weights (tests/test_ops.py); off by default
     # pending a trained-weights quality measurement.
     quantized_int8: bool = False
+    # Serving lowering: compose the HF artifact stem's Laplacian into its
+    # conv1 kernel (one conv instead of two layout-bound 3-channel convs;
+    # 1.48x faster RTT-corrected, BENCHMARKS.md). Exact interior; strided
+    # border row/col deviates — off by default for strict parity.
+    fold_hf_stem: bool = False
 
     def __post_init__(self):
         if self.confidence_smoothing not in {"none", "median", "trimmed_mean"}:
@@ -156,6 +161,7 @@ class Predictor:
                 shared_visual_encoding=config.shared_visual_encoding,
                 mesh=mesh,
                 quantized_int8=config.quantized_int8,
+                fold_hf_stem=config.fold_hf_stem,
             )
 
     # ── Core scoring helpers ──────────────────────────────────────────────

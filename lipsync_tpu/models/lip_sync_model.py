@@ -62,6 +62,12 @@ class ModelConfig:
     # "int8" (dynamic post-training quantization, inference only — the
     # MXU's int8 path peaks at 2x bf16 on v5e; see layers.Int8Conv).
     conv_lowering: str = "conv"
+    # Serving lowering for the HF artifact stem: compose the (trainable)
+    # Laplacian into conv1's kernel at trace time — one 3->32 conv instead
+    # of two layout-bound 3-channel convs, measured 1.48x faster
+    # RTT-corrected (BENCHMARKS.md round-3). Same param tree; exact in the
+    # strided interior, the border row/col deviates (artifact.py).
+    hf_stem_fold: bool = False
 
     # Canonical input geometry (BASELINE.md invariants).
     video_frames: int = 32
@@ -113,6 +119,7 @@ class LipSyncModel(nn.Module):
                 use_delta_map=cfg.use_delta_artifact,
                 use_high_freq=cfg.use_high_freq_artifact,
                 dtype=self.dtype,
+                fold_hf_stem=cfg.hf_stem_fold,
             )
         self.classifier = ClassificationHead(
             hidden_dim=128, dropout=cfg.dropout, dtype=self.dtype

@@ -59,6 +59,10 @@ class Settings(BaseModel):
     # TPU-rebuild knob (no reference analog): int8 encoder convs on the
     # MXU; see PredictorConfig.quantized_int8.
     quantized_int8: bool = False
+    # TPU-rebuild knob (no reference analog): compose the HF artifact
+    # stem's Laplacian into conv1 at serving time; see
+    # PredictorConfig.fold_hf_stem.
+    fold_hf_stem: bool = False
     sqlite_db_path: str = "./jobs.db"
     run_embedded_worker: bool = True
     worker_poll_interval_sec: float = 1.0
@@ -98,6 +102,7 @@ class Settings(BaseModel):
             shared_visual_encoding=self.shared_visual_encoding,
             data_parallel_devices=self.data_parallel_devices,
             quantized_int8=self.quantized_int8,
+            fold_hf_stem=self.fold_hf_stem,
         )
 
 

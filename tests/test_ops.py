@@ -272,3 +272,65 @@ def test_pallas_hf_stem_matches_xla(rng):
     got = hf_stem_fused(v, wlap, w1, b1, g, bb, mu, var, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5)
+
+
+def test_hf_stem_fold_param_tree_and_numerics(rng):
+    """fold_stem composes the Laplacian into conv1 with an IDENTICAL param
+    tree (structure, shapes, and init values — same RNG paths). Exact to
+    fp32 rounding whenever the input carries a 2-px zero border (the only
+    deviation source is the sequential path's zeroed intermediate ring);
+    bounded on arbitrary input (artifact._FoldedStemConvBN docstring)."""
+    import jax
+    import jax.tree_util as tu
+
+    from lipsync_tpu.models.artifact import HighFrequencyDetector
+
+    x = rng.rand(2, 8, 32, 32, 3).astype(np.float32)
+    ref = HighFrequencyDetector(16)
+    fold = HighFrequencyDetector(16, fold_stem=True)
+    v_ref = ref.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    v_fold = fold.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert tu.tree_structure(v_ref) == tu.tree_structure(v_fold)
+    for a, b in zip(tu.tree_leaves(v_ref), tu.tree_leaves(v_fold)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    xz = x.copy()
+    xz[:, :, :2] = 0
+    xz[:, :, -2:] = 0
+    xz[:, :, :, :2] = 0
+    xz[:, :, :, -2:] = 0
+    with jax.default_matmul_precision("highest"):
+        y_ref = np.asarray(ref.apply(v_ref, jnp.asarray(xz)))
+        y_fold = np.asarray(fold.apply(v_ref, jnp.asarray(xz)))
+        np.testing.assert_allclose(y_fold, y_ref, atol=1e-5)
+        y_ref = np.asarray(ref.apply(v_ref, jnp.asarray(x)))
+        y_fold = np.asarray(fold.apply(v_ref, jnp.asarray(x)))
+    assert np.abs(y_fold - y_ref).max() < 0.05  # border ring, pooled
+
+
+def test_hf_stem_fold_model_logits_close(rng):
+    """hf_stem_fold=True loads the SAME variables; end-to-end the border
+    deviation washes out through the stem's mean-pool + MLP (measured
+    |dprob| 4.7e-5 fp32 at 32-px crops; production 96-px crops have a 3x
+    smaller border fraction)."""
+    import dataclasses
+
+    import jax
+    import jax.tree_util as tu
+
+    from lipsync_tpu.models import LipSyncModel, ModelConfig
+
+    tiny = ModelConfig(video_frames=8, crop_size=32, mel_bins=80,
+                       audio_frames=32)
+    v = jnp.asarray(rng.rand(2, 8, 32, 32, 3).astype(np.float32))
+    a = jnp.asarray((rng.rand(2, 80, 32, 1) * 80 - 80).astype(np.float32))
+    fp = LipSyncModel(tiny)
+    variables = fp.init(jax.random.PRNGKey(0), v, a)
+    folded = LipSyncModel(dataclasses.replace(tiny, hf_stem_fold=True))
+    assert tu.tree_structure(variables) == tu.tree_structure(
+        folded.init(jax.random.PRNGKey(0), v, a)
+    )
+    lf = np.asarray(fp.apply(variables, v, a))
+    lq = np.asarray(folded.apply(variables, v, a))
+    dprob = np.abs(1 / (1 + np.exp(-lf)) - 1 / (1 + np.exp(-lq)))
+    assert dprob.max() < 1e-3, dprob.max()

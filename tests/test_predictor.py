@@ -535,3 +535,45 @@ def test_shared_encoding_nonpow2_mesh(tiny_engine_shared, rng):
     got = sharded.score_track_logits(crops, starts, audio)
     want = tiny_engine_shared.score_track_logits(crops, starts, audio)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_fold_hf_stem_knob_reaches_load_engine(monkeypatch, tmp_path):
+    """Settings.fold_hf_stem -> PredictorConfig -> load_engine wiring, and
+    ScoringEngine flips ModelConfig.hf_stem_fold (docs/SERVING.md)."""
+    from lipsync_tpu.serving.config import Settings
+
+    s = Settings(fold_hf_stem=True)
+    pc = s.to_predictor_config()
+    assert pc.fold_hf_stem is True
+
+    import lipsync_tpu.inference.predictor as pred_mod
+
+    captured = {}
+
+    def fake_load_engine(path, model_config, **kw):
+        captured.update(kw)
+
+        class _E:
+            config = model_config
+            calibrator = Calibrator()
+        return _E()
+
+    monkeypatch.setattr(pred_mod, "load_engine", fake_load_engine)
+    (tmp_path / "w.pth").write_bytes(b"x")
+    Predictor(model_path=tmp_path / "w.pth", config=pc)
+    assert captured.get("fold_hf_stem") is True
+
+
+def test_fold_hf_stem_engine_rewrites_config_and_tracks_fp(tiny_engine, rng):
+    """ScoringEngine(fold_hf_stem=True) rewrites ModelConfig.hf_stem_fold so
+    the jitted forward traces the composed-kernel stem, and its probs track
+    the sequential-stem engine on the same variables."""
+    eng = ScoringEngine(tiny_engine._variables, TINY, use_bfloat16=False,
+                        fold_hf_stem=True)
+    assert eng.config.hf_stem_fold is True
+    assert eng.fold_hf_stem is True
+    v = rng.rand(3, 8, 32, 32, 3).astype(np.float32)
+    a = (rng.rand(3, 80, 32).astype(np.float32) * 60) - 60
+    np.testing.assert_allclose(
+        eng.score_probs(v, a), tiny_engine.score_probs(v, a), atol=1e-3
+    )
