@@ -107,8 +107,9 @@ class PredictorConfig:
     quantized_int8: bool = False
     # Serving lowering: compose the HF artifact stem's Laplacian into its
     # conv1 kernel (one conv instead of two layout-bound 3-channel convs;
-    # 1.48x faster RTT-corrected, BENCHMARKS.md). Exact interior; strided
-    # border row/col deviates — off by default for strict parity.
+    # A/B: scripts/bench_fold.py, BENCHMARKS.md "HF-stem fold"). Exact
+    # interior; strided border row/col deviates — off by default for
+    # strict parity.
     fold_hf_stem: bool = False
 
     def __post_init__(self):
@@ -123,6 +124,20 @@ class PredictorConfig:
         self.fake_vote_gate = float(max(0.0, min(1.0, self.fake_vote_gate)))
         self.fake_vote_min_windows = int(max(1, self.fake_vote_min_windows))
         self.detection_stride = int(max(1, self.detection_stride))
+        if self.detection_stride > 2:
+            # Measured safe envelope is 1-2: at stride 3+ the tracker's
+            # coasting quality collapses on conversational head motion
+            # (tracked-box IoU p10 0.578 at stride 3, 0.366 at stride 5,
+            # vs 0.875 at stride 2 — BENCHMARKS.md "Detection stride").
+            # Honored as requested, but loudly: crop quality drives every
+            # downstream verdict.
+            logger.warning(
+                "detection_stride=%d is outside the measured safe envelope "
+                "(1-2): tracked-crop IoU p10 falls to 0.578 at stride 3 and "
+                "0.366 at stride 5 (BENCHMARKS.md). Expect degraded verdict "
+                "quality on moving faces.",
+                self.detection_stride,
+            )
         self.data_parallel_devices = int(max(0, self.data_parallel_devices))
 
 

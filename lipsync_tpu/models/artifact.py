@@ -99,11 +99,12 @@ class _FoldedStemConvBN(nn.Module):
     TPU conv emitter (they pad toward the 128-lane tile), and the
     sequential pair also materializes a full-resolution 3-channel
     intermediate in HBM; the composed (3,5,5) kernel removes both at 225
-    vs 81 contraction taps — measured 1.48x faster RTT-corrected at
-    batch 256 (BENCHMARKS.md round-3 fold note). Numerics: exact in the
+    vs 81 contraction taps (A/B harness: scripts/bench_fold.py; measured
+    numbers in BENCHMARKS.md "HF-stem fold"). Numerics: exact in the
     strided interior; the first/last output row/col see the composed
     kernel's implicit Laplacian border extension instead of the sequential
-    path's zeroed ring (bounded end-to-end in tests/test_model_parity.py).
+    path's zeroed ring (bounded end-to-end in tests/test_ops.py
+    test_hf_stem_fold_model_logits_close).
     """
 
     features: int

@@ -64,8 +64,8 @@ class ModelConfig:
     conv_lowering: str = "conv"
     # Serving lowering for the HF artifact stem: compose the (trainable)
     # Laplacian into conv1's kernel at trace time — one 3->32 conv instead
-    # of two layout-bound 3-channel convs, measured 1.48x faster
-    # RTT-corrected (BENCHMARKS.md round-3). Same param tree; exact in the
+    # of two layout-bound 3-channel convs (A/B: scripts/bench_fold.py,
+    # BENCHMARKS.md "HF-stem fold"). Same param tree; exact in the
     # strided interior, the border row/col deviates (artifact.py).
     hf_stem_fold: bool = False
 
