@@ -15,6 +15,21 @@ the bare forward):
 3. **Track-gather path** — ``score_track_logits``: a whole track's crops
    upload once as uint8 and 75%-overlapping windows gather on device
    (0.27 MB/window transferred vs 0.88 for materialized windows).
+4. **Train step** (round 4) — the fused jitted training step (two
+   forwards + three losses + phase-3 optimizer + on-device augmentation,
+   the production `--device-cache` recipe) at the canonical batch 32:
+   device-resident feed (what device-cache achieves) vs host-fed per step.
+
+ENGINE PROBE CONTRACT (round-4 pin, r3 VERDICT item 5): the engine stage
+ships EXACTLY 4 groups x 128 windows of (32,96,96,3) uint8 + (80,128)
+float32 = ~474 MB/call, unchanged from round 3. Do not resize this payload
+— absolute engine w/s is only comparable across rounds at fixed payload on
+this drifting tunnel. The PRIMARY engine metric is
+`engine_link_utilization` (measured throughput / same-minute link ceiling,
+interleaved probe): ~1.0 certifies the path is link-saturated regardless
+of what the link happens to sustain that minute. Absolute
+`engine_windows_per_sec` is secondary, interpretable only against its
+bracketing `engine_link_mbps_interleaved`.
 
 Timing forces completion with a device->host readback (np.asarray): on the
 experimental remote platform, block_until_ready alone has been observed to
@@ -275,6 +290,62 @@ def main() -> None:
     )
     track_shared_wps = n_windows / p50_track_shared
 
+    # ---- train step (r3 VERDICT item 4) ------------------------------------
+    # The production TPU recipe: phase-3 optimizer (full unfreeze), device
+    # augmentation, canonical batch 32 (the 5k-run recipe, BENCHMARKS.md).
+    # Device-resident feed approximates --device-cache steady state (the
+    # index gather is ~1% of step FLOPs); the host-fed variant ships the
+    # uint8 batch every step, pricing the per-step link cost.
+    _progress("train step")
+    import optax  # noqa: F401  (transitively required by training.steps)
+
+    from lipsync_tpu.ops.augment import AugmentConfig
+    from lipsync_tpu.training.optimizers import make_phase_optimizer
+    from lipsync_tpu.training.steps import TrainState, make_train_step
+
+    train_batch = 32 if on_tpu else 2
+    optimizer = make_phase_optimizer(3, lr_head=1e-4, lr_encoder=1e-4)
+    # Reuse the already-initialized variables; only opt state is new.
+    train_model = LipSyncModel(cfg, dtype=dtype)
+    t_state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(variables["params"]),
+        rng=jax.random.PRNGKey(7),
+    )
+    train_step = jax.jit(
+        make_train_step(train_model, optimizer, augment_cfg=AugmentConfig())
+    )
+    vth, ath = host_inputs(train_batch)
+    vt_u8 = (vth * 255.0).astype(np.uint8)
+    labels_h = (rng.rand(train_batch) > 0.5).astype(np.float32)
+    batch_dev = {
+        "visual": jnp.asarray(vt_u8),
+        "audio": jnp.asarray(ath[..., None]),
+        "label": jnp.asarray(labels_h),
+    }
+
+    def step_device(state):
+        new_state, m = train_step(state, batch_dev)
+        return m["loss"]
+
+    def step_hostfed(state):
+        b = {
+            "visual": jnp.asarray(vt_u8),
+            "audio": jnp.asarray(ath[..., None]),
+            "label": jnp.asarray(labels_h),
+        }
+        new_state, m = train_step(state, b)
+        return m["loss"]
+
+    train_iters = max(5, iters // 2)
+    p50_train = _measure(step_device, t_state, iters=train_iters)
+    p50_train_hostfed = _measure(step_hostfed, t_state, iters=train_iters)
+    train_cps = train_batch / p50_train
+    train_flops = _compiled_flops(train_step, t_state, batch_dev)
+    train_mfu = (train_flops / p50_train / peak) if peak and train_flops else 0.0
+
     target = 100.0  # BASELINE.json north star
     print(
         json.dumps(
@@ -285,13 +356,17 @@ def main() -> None:
                 "vs_baseline": round(model_wps / target, 3),
                 "mfu": round(mfu, 4),
                 "flops_per_window": round(flops_per_window),
+                # PRIMARY engine metric (see ENGINE PROBE CONTRACT above):
+                # utilization of the same-minute link ceiling. Absolute w/s
+                # is secondary, valid only against its bracketing rate.
+                "engine_link_utilization": round(engine_link_utilization, 3),
                 "engine_windows_per_sec": round(engine_wps, 2),
                 "engine_mfu": round(engine_mfu, 4),
                 "engine_transfer_mb_per_call": round(engine_mb_per_call, 1),
+                "engine_probe_contract": "4x128 windows (32,96,96,3)u8+(80,128)f32, pinned r3",
                 "host_link_mbps": round(link_mbps, 1),
                 "engine_link_mbps_interleaved": round(link_mbps_eng, 1),
                 "engine_link_ceiling_wps": round(engine_link_ceiling_wps, 2),
-                "engine_link_utilization": round(engine_link_utilization, 3),
                 "engine_transfer_bound": bool(
                     on_tpu
                     and link_mbps_eng > 0
@@ -300,6 +375,14 @@ def main() -> None:
                 ),
                 "track_gather_windows_per_sec": round(track_wps, 2),
                 "track_shared_windows_per_sec": round(track_shared_wps, 2),
+                "train_step_ms": round(p50_train * 1e3, 2),
+                "train_clips_per_sec": round(train_cps, 2),
+                "train_mfu": round(train_mfu, 4),
+                "train_step_hostfed_ms": round(p50_train_hostfed * 1e3, 2),
+                "train_hostfed_clips_per_sec": round(
+                    train_batch / p50_train_hostfed, 2
+                ),
+                "train_batch": train_batch,
                 "p50_single_window_ms": round(p50_single * 1e3, 2),
                 "p50_model_batch_ms": round(p50_batch * 1e3, 2),
                 "p50_engine_batch_ms": round(p50_engine * 1e3, 2),
