@@ -33,7 +33,11 @@ from lipsync_tpu.preprocessing.face_detection import (
     get_default_backend,
 )
 from lipsync_tpu.preprocessing.tracker import StreamingTracker, TrackState
-from lipsync_tpu.preprocessing.video import ChunkedTrack, crop_mouth_uint8
+from lipsync_tpu.preprocessing.video import (
+    ChunkedTrack,
+    crop_mouth_uint8,
+    mean_box,
+)
 from lipsync_tpu.utils.logger import get_logger
 
 logger = get_logger(__name__)
@@ -181,6 +185,7 @@ def score_long_video_pipelined(
                 consecutive_miss_max=tr.consecutive_miss_max,
                 track_start_frame=tr.track_start_frame,
                 track_end_frame=tr.track_end_frame,
+                mean_bbox=mean_box(tr.boxes),
             )
         )
         # Keyed by position in `chunked`, which can diverge from the

@@ -432,6 +432,12 @@ class Predictor:
                 "window_confidences": [float(raw_confidence)],
                 "window_spans": [(0, int(visual_np.shape[0]))],
                 "consecutive_miss_max": int(tr.get("consecutive_miss_max", 0)),
+                # Mean mouth box in source pixels: lets a caller attribute
+                # each track to a subject in multi-face scenes
+                # (scripts/eval_multiface.py matches on it).
+                "bbox": [round(float(v), 1) for v in tr.get(
+                    "mean_bbox", (0.0, 0.0, 0.0, 0.0)
+                )],
             })
 
         # Adaptive phase 2: refine only when competition is close
@@ -798,6 +804,7 @@ class Predictor:
                     for s in tr.abs_chunk_starts
                 ],
                 "consecutive_miss_max": tr.consecutive_miss_max,
+                "bbox": [round(float(v), 1) for v in tr.mean_bbox],
                 "_track_idx": ti,
             })
         t_inf_end = perf_counter()

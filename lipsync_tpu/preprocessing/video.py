@@ -124,6 +124,10 @@ class MouthTrack:
     consecutive_miss_max: int
     track_start_frame: int
     track_end_frame: int
+    # Mean mouth box over the track in source-pixel coords (x1, y1, x2, y2):
+    # a diagnostic the reference's TrackResult lacks, needed to attribute a
+    # track to a subject in multi-face scenes (scripts/eval_multiface.py).
+    mean_bbox: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
 
 def detect_and_crop_tracks(
@@ -188,9 +192,18 @@ def detect_and_crop_tracks(
                 consecutive_miss_max=tr.consecutive_miss_max,
                 track_start_frame=tr.track_start_frame,
                 track_end_frame=tr.track_end_frame,
+                mean_bbox=mean_box(tr.boxes),
             )
         )
     return tracks
+
+
+def mean_box(boxes) -> Tuple[float, float, float, float]:
+    """Mean (x1, y1, x2, y2) over a track's per-frame boxes."""
+    if not boxes:
+        return (0.0, 0.0, 0.0, 0.0)
+    m = np.asarray(boxes, np.float32).mean(axis=0)
+    return (float(m[0]), float(m[1]), float(m[2]), float(m[3]))
 
 
 def _fit_to_window(crops: np.ndarray, max_frames: int) -> np.ndarray:
@@ -265,6 +278,7 @@ def preprocess_video_tracks(
                 "hits": tr.hits,
                 "total_frames": tr.total_frames,
                 "stability": tr.stability,
+                "mean_bbox": tr.mean_bbox,
             }
         )
     return out
@@ -292,6 +306,8 @@ class ChunkedTrack:
     consecutive_miss_max: int
     track_start_frame: int
     track_end_frame: int
+    # Mean mouth box in source pixels (see MouthTrack.mean_bbox).
+    mean_bbox: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
     @property
     def num_chunks(self) -> int:
@@ -352,6 +368,7 @@ def preprocess_video_tracks_chunked(
                 consecutive_miss_max=tr.consecutive_miss_max,
                 track_start_frame=tr.track_start_frame,
                 track_end_frame=tr.track_end_frame,
+                mean_bbox=tr.mean_bbox,
             )
         )
     return out, float(target_fps), total_frames

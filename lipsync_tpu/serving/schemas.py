@@ -26,6 +26,10 @@ class TrackResult(BaseModel):
     selection_score: Optional[float] = None
     window_confidences: Optional[List[float]] = None
     consecutive_miss_max: Optional[int] = None
+    # Mean mouth box over the track in source pixels (x1, y1, x2, y2) — a
+    # diagnostic superset field the reference lacks (app/api/schemas.py:9-23)
+    # for attributing tracks to subjects in multi-face scenes.
+    bbox: Optional[List[float]] = None
 
 
 class WindowResult(BaseModel):

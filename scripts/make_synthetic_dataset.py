@@ -421,6 +421,212 @@ def write_phoneme_pair(
     write_video(fake_dir / f"fake_{i:04d}.avi", frames, fps, pcm_f, sr)
 
 
+# ── Multi-face scenes (round 4) ──────────────────────────────────────────
+#
+# The reference's marquee production feature is multi-face tracking +
+# speaker timeline + per-track verdicts
+# (/root/reference/app/inference/predictor.py:1538-1631,
+# app/preprocessing/face_detection.py:668-1101). These scenes exercise that
+# path end-to-end: 2-3 faces side by side, each with a ground-truth role —
+# synced speaker, dubbed speaker (mouth follows an articulation stream
+# independent of the audio), or silent listener. A sidecar JSON per clip
+# records roles + nominal face centers so an eval can attribute recovered
+# tracks to subjects (scripts/eval_multiface.py).
+
+MULTIFACE_SCENES = (
+    "all_real",        # one synced speaker + listeners
+    "all_fake",        # one dubbed speaker + listeners
+    "mixed",           # synced speaker + dubbed speaker (simultaneous)
+    "turn_taking",     # two synced speakers alternating (all real)
+    "turn_taking_dub", # speaker A synced, then speaker B dubbed
+)
+
+
+def _span_tracks(span, seconds: float, sr: int, rng):
+    """Phoneme articulation confined to ``span=(t0, t1)``: syllables are
+    sampled inside the span; tracks are zero (mouth closed, voice silent)
+    outside it."""
+    t0, t1 = span
+    syl = [
+        (s + t0, min(e + t0, t1), v, st)
+        for (s, e, v, st) in sample_syllables(t1 - t0, rng)
+    ]
+    return phoneme_tracks(syl, seconds, sr, rng)
+
+
+def _listener_tracks(seconds: float, sr: int, rng):
+    """Near-still mouth: tiny slow 'breathing' openness so motion energy is
+    near-zero but not exactly zero (a real listener's face)."""
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    f = rng.uniform(0.2, 0.45)
+    openness = 0.02 + 0.015 * (1 + np.sin(2 * np.pi * f * t
+                                          + rng.uniform(0, 6))) / 2
+    width = np.full(n, 0.6)
+    rounding = np.zeros(n)
+    return openness, width, rounding
+
+
+def build_multiface_scene(scene: str, n_faces: int, seconds: float,
+                          sr: int, rng):
+    """Returns (faces, pcm) where ``faces`` is a list of dicts with
+    articulation arrays + ground-truth ``role``/``speaking`` spans and
+    ``pcm`` is the mixed scene audio."""
+    n = int(seconds * sr)
+    pcm = np.zeros(n, np.float32)
+    faces = []
+
+    if scene in ("turn_taking", "turn_taking_dub"):
+        n_faces = 2
+        half = seconds / 2.0
+        spans = [(0.05, half - 0.1), (half + 0.1, seconds - 0.05)]
+        roles = ["speaker_synced",
+                 "speaker_dubbed" if scene == "turn_taking_dub"
+                 else "speaker_synced"]
+    else:
+        spans = [(0.05, seconds - 0.05)] + [None] * (n_faces - 1)
+        if scene == "all_real":
+            roles = ["speaker_synced"] + ["listener"] * (n_faces - 1)
+        elif scene == "all_fake":
+            roles = ["speaker_dubbed"] + ["listener"] * (n_faces - 1)
+        elif scene == "mixed":
+            spans = [(0.05, seconds - 0.05), (0.05, seconds - 0.05)]
+            spans += [None] * (n_faces - 2)
+            roles = ["speaker_synced", "speaker_dubbed"]
+            roles += ["listener"] * (n_faces - 2)
+        else:
+            raise ValueError(f"unknown scene {scene!r}")
+
+    for slot in range(n_faces):
+        role = roles[slot]
+        if role == "listener":
+            o, w_, r = _listener_tracks(seconds, sr, rng)
+            faces.append({"role": role, "speaking": [],
+                          "openness": o, "width": w_, "rounding": r})
+            continue
+        span = spans[slot]
+        # The AUDIBLE stream for this speaker's span.
+        oa, wa, ra, f1a, f2a, va = _span_tracks(span, seconds, sr, rng)
+        pcm += synth_phoneme_audio(f1a, f2a, va, sr, rng)
+        if role == "speaker_dubbed":
+            # Visible articulation: an INDEPENDENT stream in the same span.
+            ov, wv, rv, _, _, _ = _span_tracks(span, seconds, sr, rng)
+        else:
+            ov, wv, rv = oa, wa, ra
+        faces.append({"role": role, "speaking": [list(span)],
+                      "openness": ov, "width": wv, "rounding": rv})
+
+    peak = float(np.abs(pcm).max())
+    if peak > 1.0:
+        pcm = pcm / peak
+    pcm += rng.randn(n).astype(np.float32) * 5e-4
+    return faces, pcm.astype(np.float32)
+
+
+def render_multiface_clip(faces, seconds: float, fps: float, sr: int, rng,
+                          cell_w: int = 170, h: int = 150) -> np.ndarray:
+    """Render 2-3 faces side by side, each a phoneme-style face in its own
+    horizontal cell with per-face identity jitter + slow head drift (the
+    single-face render_phoneme_clip drawing, composited per frame)."""
+    n_faces = len(faces)
+    w = cell_w * n_faces
+    n_frames = int(seconds * fps)
+    n_samples = int(seconds * sr)
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = np.minimum((np.arange(n_frames) * sr / fps).astype(int),
+                     n_samples - 1)
+
+    # Per-face geometry + identity.
+    geo = []
+    for slot in range(n_faces):
+        cx0 = int((slot + 0.5) * cell_w + rng.uniform(-8, 8))
+        cy0 = int(h / 2 + rng.uniform(-6, 6))
+        scale = rng.uniform(0.85, 1.05)
+        skin = tuple(int(c) for c in
+                     np.asarray((200, 168, 150)) * rng.uniform(0.7, 1.1))
+        lip = tuple(int(c) for c in
+                    np.asarray((80, 25, 25)) * rng.uniform(0.7, 1.3))
+        geo.append({
+            "cx0": cx0, "cy0": cy0, "scale": scale, "skin": skin,
+            "lip": lip,
+            "interior": tuple(int(c * 0.4) for c in lip),
+            "drift_f": rng.uniform(0.1, 0.35),
+            "drift_ph": rng.uniform(0, 2 * np.pi, size=2),
+            "drift_amp": (0.018 * cell_w, 0.015 * h),
+        })
+
+    frames = np.empty((n_frames, h, w, 3), np.uint8)
+    base = rng.randint(0, 30, size=(h, w, 3)).astype(np.uint8)
+    for i in range(n_frames):
+        ft = i / fps
+        img = base.copy()
+        for face, g in zip(faces, geo):
+            scale = g["scale"]
+            cx = g["cx0"] + int(g["drift_amp"][0] * np.sin(
+                2 * np.pi * g["drift_f"] * ft + g["drift_ph"][0]))
+            cy = g["cy0"] + int(g["drift_amp"][1] * np.sin(
+                2 * np.pi * g["drift_f"] * 0.7 * ft + g["drift_ph"][1]))
+            ellipse = (
+                ((yy - cy) / (h * 0.30 * scale)) ** 2
+                + ((xx - cx) / (cell_w * 0.24 * scale)) ** 2
+            ) < 1
+            img[ellipse] = g["skin"]
+            eye_dx = int(cell_w * scale) // 9
+            for ex in (cx - eye_dx, cx + eye_dx):
+                eye = ((yy - (cy - int(h * scale) // 7)) ** 2
+                       + (xx - ex) ** 2) < (h * 0.035 * scale) ** 2
+                img[eye] = (40, 30, 30)
+            o = face["openness"][idx[i]]
+            ww = face["width"][idx[i]]
+            rr = face["rounding"][idx[i]]
+            my = cy + int(h * scale) // 5
+            ax = max(3.0, cell_w * scale * (0.055 + 0.075 * ww)
+                     * (1.0 - 0.35 * rr))
+            ay = max(2.0, h * scale * (0.018 + 0.085 * o))
+            lips = (((yy - my) / ay) ** 2 + ((xx - cx) / ax) ** 2) < 1
+            img[lips] = g["lip"]
+            if o > 0.18:
+                iy = max(1.0, ay * 0.55)
+                ix = max(2.0, ax * 0.7)
+                inner = (((yy - my) / iy) ** 2
+                         + ((xx - cx) / ix) ** 2) < 1
+                img[inner] = g["interior"]
+            g.setdefault("centers", []).append((cx, cy))
+        frames[i] = img
+    return frames, geo
+
+
+def write_multiface_scene(out_dir: Path, i: int, scene: str, n_faces: int,
+                          seconds: float, fps: float, sr: int, rng) -> None:
+    """One scene clip + ground-truth sidecar JSON (same stem)."""
+    import json
+
+    faces, pcm = build_multiface_scene(scene, n_faces, seconds, sr, rng)
+    frames, geo = render_multiface_clip(faces, seconds, fps, sr, rng)
+    stem = f"{scene}_{i:04d}"
+    write_video(out_dir / f"{stem}.avi", frames, fps, pcm, sr)
+    truth = {
+        "scene": scene,
+        "n_faces": len(faces),
+        "seconds": seconds,
+        "fps": fps,
+        "clip_is_fake": any(f["role"] == "speaker_dubbed" for f in faces),
+        "frame_height": int(frames.shape[1]),
+        "frame_width": int(frames.shape[2]),
+        "faces": [
+            {
+                "slot": s,
+                "role": f["role"],
+                "speaking": f["speaking"],
+                "cx": float(np.mean([c[0] for c in g["centers"]])),
+                "cy": float(np.mean([c[1] for c in g["centers"]])),
+            }
+            for s, (f, g) in enumerate(zip(faces, geo))
+        ],
+    }
+    (out_dir / f"{stem}.json").write_text(json.dumps(truth, indent=1))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--output-dir", type=Path, required=True)
@@ -435,11 +641,20 @@ def main(argv=None) -> int:
                    help="envelope style: half the fakes use the SAME "
                         "envelope time-shifted 0.25-0.8 s. phoneme style: "
                         "fakes cycle shift/swap/vowel-scramble modes")
-    p.add_argument("--style", choices=("envelope", "phoneme"),
+    p.add_argument("--style", choices=("envelope", "phoneme", "multiface"),
                    default="envelope",
                    help="envelope: mouth height tracks loudness (round-2 "
                         "generator). phoneme: vowel-structured articulation"
-                        " — mouth SHAPE tracks formant content (round-3)")
+                        " — mouth SHAPE tracks formant content (round-3). "
+                        "multiface: 2-3 face scenes with per-face roles + "
+                        "ground-truth sidecars (round-4; --n-per-class "
+                        "scenes PER SCENE KIND, flat layout, no class dirs)")
+    p.add_argument("--n-faces", type=int, default=2, choices=(2, 3),
+                   help="multiface style: faces per scene (turn-taking "
+                        "scenes always use 2)")
+    p.add_argument("--scenes", default=None,
+                   help="multiface style: comma list of scene kinds "
+                        f"({','.join(MULTIFACE_SCENES)}); default all")
     p.add_argument("--no-head-motion", action="store_true",
                    help="phoneme style: disable the slow head drift")
     p.add_argument("--fake-modes", default=None,
@@ -450,6 +665,25 @@ def main(argv=None) -> int:
                         "reserved for unseen-construction evals "
                         "(scripts/eval_unseen_fakes.py)")
     args = p.parse_args(argv)
+
+    if args.style == "multiface":
+        scenes = (tuple(s.strip() for s in args.scenes.split(","))
+                  if args.scenes else MULTIFACE_SCENES)
+        bad = [s for s in scenes if s not in MULTIFACE_SCENES]
+        if bad:
+            p.error(f"unknown scene kind(s) {bad}; "
+                    f"choose from {MULTIFACE_SCENES}")
+        args.output_dir.mkdir(parents=True, exist_ok=True)
+        rng = np.random.RandomState(args.seed)
+        for scene in scenes:
+            for i in range(args.n_per_class):
+                write_multiface_scene(
+                    args.output_dir, i, scene, args.n_faces,
+                    args.seconds, args.fps, args.sr, rng,
+                )
+        print(f"Wrote {args.n_per_class} x {len(scenes)} multiface scenes "
+              f"({args.n_faces} faces) to {args.output_dir}")
+        return 0
 
     real_dir = args.output_dir / "0_real"
     fake_dir = args.output_dir / "1_fake"
