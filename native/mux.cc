@@ -21,13 +21,26 @@ extern "C" {
 
 extern "C" {
 
-// Write a video. frames: n_frames * height * width * 3 RGB24 bytes.
+// Write a video with an explicit video codec + options.
+//
+// frames: n_frames * height * width * 3 RGB24 bytes.
 // pcm: n_samples mono float32 (pass 0 samples for video-only).
+// vcodec_name: avcodec encoder name ("mpeg4", "libx264", ...).
+// vcodec_opts: "k=v:k=v" AVDictionary string applied to the encoder
+//   (e.g. "crf=28:preset=veryfast" for libx264), or NULL/empty.
 // Returns 0 on success, negative on error.
-int mux_write_video(const char* path, const uint8_t* frames,
-                    int64_t n_frames, int32_t width, int32_t height,
-                    double fps, const float* pcm, int64_t n_samples,
-                    int32_t sample_rate) {
+//
+// The codec surface backs the H.264 round-trip robustness axis
+// (scripts/eval_robustness_grid.py --axis codec): the reference's corpora
+// are all H.264-normalized uploads (/root/reference/scripts/
+// convert_videos.py:30-44), so compression artifacts are part of the
+// production input distribution.
+int mux_write_video_ex(const char* path, const uint8_t* frames,
+                       int64_t n_frames, int32_t width, int32_t height,
+                       double fps, const float* pcm, int64_t n_samples,
+                       int32_t sample_rate, const char* vcodec_name,
+                       const char* vcodec_opts) {
+  av_log_set_level(AV_LOG_ERROR);  // x264 info banners flood eval loops
   AVFormatContext* fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 ||
       !fmt)
@@ -42,10 +55,14 @@ int mux_write_video(const char* path, const uint8_t* frames,
   AVFrame* vframe = nullptr;
   AVFrame* aframe = nullptr;
   AVPacket* pkt = av_packet_alloc();
+  AVDictionary* vopts = nullptr;
 
   do {
-    // ── Video stream: mpeg4 (built-in encoder) ──
-    const AVCodec* vcodec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+    // ── Video stream ──
+    const AVCodec* vcodec =
+        vcodec_name && vcodec_name[0]
+            ? avcodec_find_encoder_by_name(vcodec_name)
+            : avcodec_find_encoder(AV_CODEC_ID_MPEG4);
     if (!vcodec) break;
     vstream = avformat_new_stream(fmt, nullptr);
     vctx = avcodec_alloc_context3(vcodec);
@@ -54,11 +71,17 @@ int mux_write_video(const char* path, const uint8_t* frames,
     vctx->pix_fmt = AV_PIX_FMT_YUV420P;
     vctx->time_base = av_d2q(1.0 / fps, 100000);
     vctx->framerate = av_d2q(fps, 100000);
-    vctx->bit_rate = (int64_t)width * height * 8;
+    // Rate control: x264-style encoders use CRF from vcodec_opts; the
+    // built-in mpeg4 encoder needs an explicit bitrate target.
+    if (vcodec->id == AV_CODEC_ID_MPEG4)
+      vctx->bit_rate = (int64_t)width * height * 8;
     vctx->gop_size = 12;
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
       vctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-    if (avcodec_open2(vctx, vcodec, nullptr) < 0) break;
+    if (vcodec_opts && vcodec_opts[0] &&
+        av_dict_parse_string(&vopts, vcodec_opts, "=", ":", 0) < 0)
+      break;
+    if (avcodec_open2(vctx, vcodec, &vopts) < 0) break;
     avcodec_parameters_from_context(vstream->codecpar, vctx);
     vstream->time_base = vctx->time_base;
 
@@ -160,12 +183,22 @@ int mux_write_video(const char* path, const uint8_t* frames,
   av_frame_free(&vframe);
   av_frame_free(&aframe);
   av_packet_free(&pkt);
+  av_dict_free(&vopts);
   avcodec_free_context(&vctx);
   avcodec_free_context(&actx);
   if (fmt && !(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
     avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return err;
+}
+
+// Legacy entry point: built-in mpeg4 + pcm_s16le (no external codec libs).
+int mux_write_video(const char* path, const uint8_t* frames,
+                    int64_t n_frames, int32_t width, int32_t height,
+                    double fps, const float* pcm, int64_t n_samples,
+                    int32_t sample_rate) {
+  return mux_write_video_ex(path, frames, n_frames, width, height, fps, pcm,
+                            n_samples, sample_rate, "mpeg4", nullptr);
 }
 
 }  // extern "C"

@@ -88,10 +88,30 @@ def av_shift(n_frames: int, video_frames: int, audio_frames: int) -> Perturb:
     return fn
 
 
+def codec_crf(crf: int) -> Perturb:
+    """H.264 round-trip at constant rate factor ``crf`` — real uploads are
+    codec-compressed (the reference normalizes all corpora to H.264,
+    /root/reference/scripts/convert_videos.py:30-44), so blocking/ringing
+    artifacts on the mouth crops are part of the production input
+    distribution. Round-trips the uint8 crop window through the native
+    libx264 muxer (preprocessing.mux.h264_roundtrip)."""
+    from lipsync_tpu.preprocessing.mux import h264_roundtrip
+
+    def fn(v, a, rng):
+        u8 = np.clip(v * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        return h264_roundtrip(u8, crf).astype(np.float32) / 255.0, a
+    return fn
+
+
 def build_grid(video_frames: int, audio_frames: int
                ) -> List[Tuple[str, Perturb]]:
     return [
         ("clean", identity),
+        ("codec_crf18", codec_crf(18)),
+        ("codec_crf23", codec_crf(23)),
+        ("codec_crf28", codec_crf(28)),
+        ("codec_crf33", codec_crf(33)),
+        ("codec_crf38", codec_crf(38)),
         ("vis_noise_0.02", visual_noise(0.02)),
         ("vis_noise_0.05", visual_noise(0.05)),
         ("vis_noise_0.10", visual_noise(0.10)),

@@ -192,3 +192,34 @@ def test_merge_limit_per_source(tmp_path):
     assert len(a_recs) == 6
     labels = [r["label"] for r in a_recs]
     assert labels.count(0) == 3 and labels.count(1) == 3  # balanced
+
+
+def test_h264_roundtrip_preserves_content(tmp_path):
+    """Codec round-trip (the robustness-grid perturbation): exact frame
+    count/shape back, content close at low CRF, monotonically lossier as
+    CRF rises."""
+    from lipsync_tpu.preprocessing.mux import h264_roundtrip
+
+    frames = synthetic_frames(12, h=96, w=96)
+
+    def err(crf):
+        rt = h264_roundtrip(frames, crf)
+        assert rt.shape == frames.shape and rt.dtype == np.uint8
+        return float(
+            np.mean((rt.astype(np.float32) - frames.astype(np.float32)) ** 2)
+        )
+
+    e18, e38 = err(18), err(38)
+    assert e18 < e38, "higher CRF must be lossier"
+    assert np.sqrt(e18) < 25.0, "CRF 18 should stay visually close"
+
+
+def test_write_video_h264_container(tmp_path):
+    """The codec-parameterized muxer writes a decodable H.264 mp4."""
+    p = mux_write(
+        tmp_path / "v.mp4", synthetic_frames(10), fps=15.0,
+        vcodec="libx264", vcodec_opts="crf=23:preset=veryfast",
+    )
+    info = ingest.probe(p)
+    assert info.nb_frames >= 9
+    assert len(ingest.read_video(p, 15.0)) >= 9
