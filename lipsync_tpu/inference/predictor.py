@@ -365,6 +365,9 @@ class Predictor:
         unusable afterwards."""
         engine = getattr(self, "engine", None)
         if engine is not None:
+            closer = getattr(engine, "close", None)
+            if callable(closer):  # CoalescingEngine: stop the dispatcher
+                closer()
             for attr in ("_variables", "_fwd", "_fwd_u8", "_track_fwd"):
                 if hasattr(engine, attr):
                     try:

@@ -112,6 +112,19 @@ class AppState:
                     "a model (503 on predict)", self.settings.model_path,
                 )
         if self.predictor is not None and hasattr(self.predictor, "engine"):
+            if (
+                self.settings.coalesce_requests
+                and self.predictor.engine is not None
+                and hasattr(self.predictor.engine, "score_logits")
+            ):
+                # Cross-request dynamic batching: concurrent requests'
+                # windows merge into shared forwards (inference/batcher.py).
+                from lipsync_tpu.inference.batcher import CoalescingEngine
+
+                self.predictor.engine = CoalescingEngine(
+                    self.predictor.engine,
+                    max_wait_ms=self.settings.coalesce_max_wait_ms,
+                )
             # Compile the canonical window shape before traffic arrives
             # (first XLA compile can take minutes on a cold service).
             threading.Thread(

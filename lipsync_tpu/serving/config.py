@@ -63,6 +63,13 @@ class Settings(BaseModel):
     # stem's Laplacian into conv1 at serving time; see
     # PredictorConfig.fold_hf_stem.
     fold_hf_stem: bool = False
+    # TPU-rebuild knob (no reference analog): coalesce concurrent requests'
+    # window batches into shared forwards (inference/batcher.py). The chip
+    # is <5% utilized under concurrent load without it (BENCHMARKS.md
+    # serving bench); the linger adds at most coalesce_max_wait_ms latency
+    # per scoring call.
+    coalesce_requests: bool = True
+    coalesce_max_wait_ms: float = 2.0
     sqlite_db_path: str = "./jobs.db"
     run_embedded_worker: bool = True
     worker_poll_interval_sec: float = 1.0

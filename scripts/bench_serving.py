@@ -51,9 +51,84 @@ class _StubPredictor:
         pass
 
 
-def main(argv=None):
-    import httpx
+def engine_only_bench(args):
+    """Concurrent scoring with PRE-DECODED inputs: isolates cross-request
+    batching behavior from this box's 1-core host decode limit (r3 VERDICT
+    item 7). Each simulated request scores ``--windows-per-request``
+    model windows (a short 2-track clip with refinement scores ~4-10);
+    ``--coalesce on`` merges concurrent requests into shared forwards."""
+    from lipsync_tpu.inference.batcher import CoalescingEngine
+    from lipsync_tpu.inference.engine import load_engine
 
+    engine = load_engine(args.model_path)
+    coalesce = args.coalesce == "on"
+    if coalesce:
+        engine = CoalescingEngine(
+            engine, max_wait_ms=args.coalesce_wait_ms
+        )
+    w = args.windows_per_request
+    rng = np.random.RandomState(0)
+    visual = rng.randint(
+        0, 256,
+        size=(w, engine.config.video_frames, engine.config.crop_size,
+              engine.config.crop_size, 3),
+    ).astype(np.uint8)
+    audio = rng.randn(
+        w, engine.config.mel_bins, engine.config.audio_frames
+    ).astype(np.float32) * 20.0 - 40.0
+
+    engine.score_probs(visual, audio)  # compile + warm
+
+    lock = threading.Lock()
+    counter = iter(range(args.requests))
+    latencies = []
+
+    def worker():
+        while True:
+            with lock:
+                try:
+                    next(counter)
+                except StopIteration:
+                    return
+            t0 = time.perf_counter()
+            engine.score_probs(visual, audio)
+            dt = time.perf_counter() - t0
+            with lock:
+                latencies.append(dt)
+
+    t_start = time.perf_counter()
+    threads = [
+        threading.Thread(target=worker) for _ in range(args.concurrency)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+
+    lat = np.asarray(sorted(latencies))
+    out = {
+        "metric": "engine_concurrent_qps",
+        "value": round(len(lat) / wall, 2),
+        "unit": "requests/sec",
+        "windows_per_sec": round(len(lat) * w / wall, 1),
+        "requests": len(lat),
+        "concurrency": args.concurrency,
+        "windows_per_request": w,
+        "coalesce": coalesce,
+        "coalesce_wait_ms": args.coalesce_wait_ms if coalesce else None,
+        "batches_dispatched": getattr(engine, "batches_dispatched", None),
+        "items_coalesced": getattr(engine, "items_coalesced", None),
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+        "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
+    }
+    if coalesce:
+        engine.close()
+    print(json.dumps(out))
+    return out
+
+
+def main(argv=None):
     from lipsync_tpu.serving.app import AppState, Server
     from lipsync_tpu.serving.config import Settings
 
@@ -66,7 +141,23 @@ def main(argv=None):
     p.add_argument("--stub-model", action="store_true")
     p.add_argument("--detection-stride", type=int, default=1,
                    help="host detector stride (Settings.detection_stride)")
+    p.add_argument("--coalesce", choices=["on", "off"], default="on",
+                   help="cross-request dynamic batching "
+                        "(Settings.coalesce_requests)")
+    p.add_argument("--coalesce-wait-ms", type=float, default=2.0)
+    p.add_argument("--engine-only", action="store_true",
+                   help="skip HTTP/decode: concurrent scoring of "
+                        "pre-decoded windows (isolates batching from the "
+                        "1-core host)")
+    p.add_argument("--windows-per-request", type=int, default=6)
     args = p.parse_args(argv)
+
+    if args.engine_only:
+        if args.model_path is None:
+            raise SystemExit("--engine-only requires --model-path")
+        return engine_only_bench(args)
+
+    import httpx
 
     tmp = Path(tempfile.mkdtemp())
     clips = make_clips(args.n_clips, args.clip_seconds, tmp)
@@ -77,6 +168,8 @@ def main(argv=None):
         sqlite_db_path=str(tmp / "jobs.db"),
         model_path=args.model_path or Path("/nonexistent"),
         detection_stride=args.detection_stride,
+        coalesce_requests=args.coalesce == "on",
+        coalesce_max_wait_ms=args.coalesce_wait_ms,
     )
     predictor = _StubPredictor() if args.stub_model else None
     state = AppState(settings=settings, predictor=predictor)
@@ -142,6 +235,7 @@ def main(argv=None):
         "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1) if len(lat) else None,
         "stub_model": bool(args.stub_model),
         "detection_stride": args.detection_stride,
+        "coalesce": args.coalesce == "on",
     }
     print(json.dumps(out))
     return out
