@@ -17,6 +17,16 @@ set PER construction — including two held-out-of-training ones:
 - ``freeze`` — partial fake: the visual articulation holds still for
                0.5-1.0 s while audio continues (the classic face-swap
                dropped-frames artifact)
+- ``revoice``— video fully real, audio re-synthesized with scrambled
+               vowels on the same timing/stress and the ORIGINAL voiced
+               envelope (a prosody-preserving re-dub: loudness matches,
+               formants mismatch the mouth shapes)
+- ``retime`` — video uniformly time-stretched 0.85-0.93x / 1.08-1.18x:
+               sync drift grows linearly from 0 to ~0.2-0.5 s
+               (fps-mismatch artifact)
+- ``composite`` — perfectly synced A/V; the lip region carries face-swap
+               blending artifacts only (blur + seam + 1 px shimmer) — no
+               sync signal, only the artifact branch can catch it
 
 and scores a single model on each through the full production evaluation
 path (validate_pipeline, same scoring the reference's
@@ -44,7 +54,7 @@ sys.path.insert(0, str(REPO / "scripts"))
 from eval_cross_tier import score_tier  # noqa: E402
 
 SEEN = ("shift", "swap", "scramble")
-UNSEEN = ("warp", "splice", "freeze")
+UNSEEN = ("warp", "splice", "freeze", "revoice", "retime", "composite")
 
 
 def run(cmd: list, log: Path) -> None:

@@ -148,10 +148,15 @@ def render_phoneme_clip(
     w: int = 180,
     jitter: bool = False,
     head_motion: bool = True,
+    return_mouth_boxes: bool = False,
 ) -> np.ndarray:
     """Frames whose mouth SHAPE follows the articulation tracks: tall/open
     for /a/, wide/flat for /i/, small/round for /u/. Optional slow head
-    drift exercises the tracker and breaks static-pixel memorization."""
+    drift exercises the tracker and breaks static-pixel memorization.
+
+    ``return_mouth_boxes=True`` also returns per-frame (x1, y1, x2, y2)
+    lip-region boxes (the ``composite`` fake construction needs ground
+    truth to place its blending artifacts)."""
     n_frames = int(seconds * fps)
     n_samples = len(openness)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -174,6 +179,7 @@ def render_phoneme_clip(
     drift_amp = (0.03 * w, 0.02 * h) if head_motion else (0.0, 0.0)
 
     frames = np.empty((n_frames, h, w, 3), np.uint8)
+    mouth_boxes = np.zeros((n_frames, 4), np.int32)
     base = rng.randint(0, noise_hi, size=(h, w, 3)).astype(np.uint8)
     idx = np.minimum(
         (np.arange(n_frames) * sr / fps).astype(int), n_samples - 1
@@ -209,7 +215,14 @@ def render_phoneme_clip(
             ix = max(2.0, ax * 0.7)
             inner = (((yy - my) / iy) ** 2 + ((xx - cx) / ix) ** 2) < 1
             img[inner] = mouth_interior
+        # Generous lip-region box (max articulation extent + margin).
+        bx = int(w * scale * 0.13) + 6
+        by = int(h * scale * 0.11) + 6
+        mouth_boxes[i] = (max(0, cx - bx), max(0, my - by),
+                          min(w, cx + bx), min(h, my + by))
         frames[i] = img
+    if return_mouth_boxes:
+        return frames, mouth_boxes
     return frames
 
 
@@ -299,7 +312,7 @@ def _scramble_vowels(syllables: list, rng) -> list:
 
 
 PHONEME_FAKE_MODES = ("shift", "swap", "scramble", "warp", "splice",
-                      "freeze")
+                      "freeze", "revoice", "retime", "composite")
 
 
 def _warp_time_map(n: int, sr: int, rng) -> np.ndarray:
@@ -350,6 +363,50 @@ def _splice_audio(pcm: np.ndarray, pcm_other: np.ndarray, sr: int,
     return out
 
 
+def _box_blur_rgb(patch: np.ndarray, k: int = 3, passes: int = 2
+                  ) -> np.ndarray:
+    """Small separable box blur (no cv2/scipy needed at generation time)."""
+    out = patch.astype(np.float32)
+    for _ in range(passes):
+        for axis in (0, 1):
+            pad = k // 2
+            padded = np.concatenate(
+                [np.repeat(out.take([0], axis=axis), pad, axis=axis), out,
+                 np.repeat(out.take([-1], axis=axis), pad, axis=axis)],
+                axis=axis,
+            )
+            cum = np.cumsum(padded, axis=axis)
+            zero = np.zeros_like(cum.take([0], axis=axis))
+            cum = np.concatenate([zero, cum], axis=axis)
+            out = (cum.take(range(k, k + out.shape[axis]), axis=axis)
+                   - cum.take(range(out.shape[axis]), axis=axis)) / k
+    return out
+
+
+def _composite_lips(frames: np.ndarray, boxes: np.ndarray, rng
+                    ) -> np.ndarray:
+    """Face-swap blending artifacts on a perfectly synced clip: the lip
+    region is blurred, color-shifted toward its mean (~the classic
+    blend-color mismatch), and pasted back with a hard seam plus +-1 px
+    per-frame placement shimmer (temporal inconsistency for the delta
+    branch). The A/V sync itself stays intact."""
+    out = frames.copy()
+    h, w = frames.shape[1:3]
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        if x2 - x1 < 4 or y2 - y1 < 4:
+            continue
+        patch = _box_blur_rgb(frames[i, y1:y2, x1:x2])
+        patch = patch * 0.9 + patch.mean(axis=(0, 1), keepdims=True) * 0.1
+        jx = int(rng.randint(-1, 2))
+        jy = int(rng.randint(-1, 2))
+        px1 = min(max(0, x1 + jx), w - (x2 - x1))
+        py1 = min(max(0, y1 + jy), h - (y2 - y1))
+        out[i, py1:py1 + (y2 - y1), px1:px1 + (x2 - x1)] = np.clip(
+            patch + 0.5, 0, 255
+        ).astype(np.uint8)
+    return out
+
+
 def write_phoneme_pair(
     args, rng, real_dir: Path, fake_dir: Path, i: int,
     modes: tuple = ("shift", "swap", "scramble"),
@@ -370,6 +427,18 @@ def write_phoneme_pair(
       mid-clip while the audio continues (the classic face-swap
       dropped-frames artifact; partial fake) — held out of training as
       an unseen construction
+    - ``revoice``: video fully real; AUDIO re-synthesized from the same
+      syllable timing/stress with scrambled vowels — loudness envelope
+      matches exactly, formants mismatch the visible mouth shapes (a
+      prosody-preserving voice-conversion re-dub); held out of training
+    - ``retime``: video fully real but uniformly time-stretched 0.85-0.93x
+      or 1.08-1.18x (fps-mismatch artifact): sync drifts LINEARLY from 0
+      to ~0.2-0.5 s across the clip; held out of training
+    - ``composite``: perfectly synced A/V, but the lip region is pasted
+      back with face-swap blending artifacts — box blur, a hard seam, and
+      per-frame +-1 px placement shimmer. Zero sync signal: only the
+      artifact branch (reference artifact_detector.py Laplacian/delta
+      paths) can catch it; held out of training
     """
     sr, fps, seconds = args.sr, args.fps, args.seconds
     syl = sample_syllables(seconds, rng)
@@ -411,13 +480,44 @@ def write_phoneme_pair(
         ov, wv, rv = (x.copy() for x in (oa, wa, ra))
         for x in (ov, wv, rv):
             x[start:end] = x[start]
+    elif mode == "revoice":
+        # Video fully real; audio re-synthesized with scrambled vowels on
+        # the SAME timing/stress and the ORIGINAL voiced envelope —
+        # loudness matches exactly, formants mismatch the mouth shapes.
+        ov, wv, rv = oa, wa, ra
+        _, _, _, f1s, f2s, _ = phoneme_tracks(
+            _scramble_vowels(syl_a, rng), seconds, sr, rng
+        )
+        pcm_f = synth_phoneme_audio(f1s, f2s, va, sr, rng)
+    elif mode == "retime":
+        # Uniform visual time-stretch: sync drift grows linearly from 0
+        # to ~|1-rate|*seconds across the clip (fps-mismatch artifact).
+        rate = (rng.uniform(0.85, 0.93) if rng.rand() < 0.5
+                else rng.uniform(1.08, 1.18))
+        n = len(oa)
+        base = np.arange(n)
+        tau = np.clip(base * rate, 0, n - 1)
+        ov, wv, rv = (np.interp(tau, base, x) for x in (oa, wa, ra))
+    elif mode == "composite":
+        ov, wv, rv = oa, wa, ra  # synced; artifacts added after render
     else:  # swap: visual from an independent articulation stream
         syl_b = sample_syllables(seconds, rng)
         ov, wv, rv, _, _, _ = phoneme_tracks(syl_b, seconds, sr, rng)
-    frames = render_phoneme_clip(
-        ov, wv, rv, pcm_f, seconds, fps, sr, rng,
-        jitter=args.jitter, head_motion=not args.no_head_motion,
-    )
+
+    if mode == "composite":
+        # Perfectly synced A/V; the manipulation is pure pixel-blending
+        # artifacts in the lip region (no sync signal at all).
+        frames, boxes = render_phoneme_clip(
+            ov, wv, rv, pcm_f, seconds, fps, sr, rng,
+            jitter=args.jitter, head_motion=not args.no_head_motion,
+            return_mouth_boxes=True,
+        )
+        frames = _composite_lips(frames, boxes, rng)
+    else:
+        frames = render_phoneme_clip(
+            ov, wv, rv, pcm_f, seconds, fps, sr, rng,
+            jitter=args.jitter, head_motion=not args.no_head_motion,
+        )
     write_video(fake_dir / f"fake_{i:04d}.avi", frames, fps, pcm_f, sr)
 
 

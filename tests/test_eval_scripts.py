@@ -324,17 +324,79 @@ def test_splice_audio_replaces_middle_only(rng):
     assert out.min() >= -0.5 - 1e-6 and out.max() <= 0.25 + 1e-6
 
 
+def test_revoice_is_envelope_matched_but_spectrally_different():
+    """The revoice construction: same voiced envelope -> loudness matches;
+    scrambled vowels -> the spectra (and thus waveforms) do not."""
+    import make_synthetic_dataset as msd
+
+    sr, seconds = 16000, 2.0
+    rng = np.random.RandomState(5)
+    syl = msd.sample_syllables(seconds, rng)
+    _, _, _, f1, f2, va = msd.phoneme_tracks(syl, seconds, sr, rng)
+    _, _, _, f1s, f2s, _ = msd.phoneme_tracks(
+        msd._scramble_vowels(syl, np.random.RandomState(6)),
+        seconds, sr, rng,
+    )
+    # Same f0 stream for both so the comparison isolates the formants.
+    pcm = msd.synth_phoneme_audio(f1, f2, va, sr, np.random.RandomState(9))
+    pcm_rv = msd.synth_phoneme_audio(
+        f1s, f2s, va, sr, np.random.RandomState(9)
+    )
+    k = sr // 100  # 10 ms RMS envelope
+    n = len(pcm) // k * k
+
+    def env(x):
+        return np.sqrt((x[:n].reshape(-1, k) ** 2).mean(axis=1))
+
+    e1, e2 = env(pcm), env(pcm_rv)
+    env_corr = float(np.corrcoef(e1, e2)[0, 1])
+    assert env_corr > 0.9, "loudness envelope must match"
+    rel = np.linalg.norm(pcm - pcm_rv) / np.linalg.norm(pcm)
+    assert rel > 0.3, "formant content must differ"
+
+
+def test_composite_lips_artifacts_localized():
+    """_composite_lips changes pixels only in/near the lip boxes and
+    leaves A/V timing alone (it never touches frame order or audio)."""
+    import make_synthetic_dataset as msd
+
+    sr, seconds, fps = 16000, 1.0, 15.0
+    rng = np.random.RandomState(4)
+    syl = msd.sample_syllables(seconds, rng)
+    o, w_, r, f1, f2, va = msd.phoneme_tracks(syl, seconds, sr, rng)
+    pcm = msd.synth_phoneme_audio(f1, f2, va, sr, rng)
+    frames, boxes = msd.render_phoneme_clip(
+        o, w_, r, pcm, seconds, fps, sr, rng, return_mouth_boxes=True
+    )
+    out = msd._composite_lips(frames, boxes, np.random.RandomState(0))
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    changed_any = False
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        diff = out[i].astype(int) != frames[i].astype(int)
+        changed = np.argwhere(diff.any(axis=-1))
+        if changed.size:
+            changed_any = True
+            # +-1 px shimmer: everything stays within a 2 px dilation.
+            assert changed[:, 0].min() >= y1 - 2
+            assert changed[:, 0].max() <= y2 + 2
+            assert changed[:, 1].min() >= x1 - 2
+            assert changed[:, 1].max() <= x2 + 2
+    assert changed_any, "compositing must actually alter the lip region"
+
+
 def test_generator_fake_modes_cli(tmp_path):
     import make_synthetic_dataset as msd
 
     out = tmp_path / "ds"
-    rc = msd.main(["--output-dir", str(out), "--n-per-class", "3",
+    rc = msd.main(["--output-dir", str(out), "--n-per-class", "6",
                    "--seconds", "1.0", "--style", "phoneme",
-                   "--fake-modes", "warp,splice,freeze", "--seed", "3"])
+                   "--fake-modes",
+                   "warp,splice,freeze,revoice,retime,composite",
+                   "--seed", "3"])
     assert rc == 0
-    # n=3 cycles through all three modes, so each construction renders
-    assert len(list((out / "0_real").glob("*.avi"))) == 3
-    assert len(list((out / "1_fake").glob("*.avi"))) == 3
+    # n=6 cycles through all six modes, so each construction renders
+    assert len(list((out / "0_real").glob("*.avi"))) == 6
+    assert len(list((out / "1_fake").glob("*.avi"))) == 6
 
     with pytest.raises(SystemExit):
         msd.main(["--output-dir", str(out), "--n-per-class", "1",
@@ -365,14 +427,16 @@ def test_eval_unseen_fakes_pipeline(tmp_path, monkeypatch):
               "--output", str(out)])
     got = json.loads(out.read_text())
     assert set(got["constructions"]) == {
-        "shift", "swap", "scramble", "warp", "splice", "freeze"}
+        "shift", "swap", "scramble", "warp", "splice", "freeze",
+        "revoice", "retime", "composite"}
     assert got["constructions"]["warp"]["unseen"] is True
+    assert got["constructions"]["composite"]["unseen"] is True
     assert got["constructions"]["shift"]["unseen"] is False
     # one generate + one precompute step per construction, with the
     # construction passed as --fake-modes and a distinct seed
     gens = [s for s in steps if "make_synthetic_dataset.py" in s[1]]
-    assert len(gens) == 6
+    assert len(gens) == 9
     seeds = {s[s.index("--seed") + 1] for s in gens}
-    assert len(seeds) == 6
+    assert len(seeds) == 9
     for s in gens:
         assert s[s.index("--fake-modes") + 1] in got["constructions"]
