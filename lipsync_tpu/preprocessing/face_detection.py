@@ -514,11 +514,14 @@ _default_backend: Optional[FaceDetectorBackend] = None
 def get_default_backend(
     max_num_faces: int = 5, lip_refine: bool = True
 ) -> FaceDetectorBackend:
-    """MediaPipe if importable, lip-refined cascades otherwise (cached).
+    """MediaPipe if importable, lip-localized cascades otherwise (cached).
 
-    The cascade tier emits face-heuristic mouth boxes; wrapping it in
-    :class:`LipRefinerBackend` recovers landmark-tier crop precision
-    without the mediapipe wheel (measured IoU report:
+    The cascade tier emits face-heuristic mouth boxes; a lip-localization
+    wrapper recovers landmark-tier crop precision without the mediapipe
+    wheel. Two localizer rungs: the learned CNN
+    (preprocessing/lip_localizer.py, when ``weights/lip_localizer.npz``
+    exists and LIPSYNC_LIP_LOCALIZER != 0) with the image-evidence
+    :class:`LipRefinerBackend` as fallback (measured IoU report:
     ``scripts/eval_crop_agreement.py``).
     """
     global _default_backend
@@ -540,7 +543,21 @@ def get_default_backend(
         pass
     cascade: FaceDetectorBackend = CascadeDetector(max_num_faces=max_num_faces)
     if lip_refine:
-        cascade = LipRefinerBackend(cascade)
+        localizer = None
+        try:
+            from lipsync_tpu.preprocessing import lip_localizer
+
+            localizer = lip_localizer.load_default_localizer()
+        except Exception as e:  # never let the learned tier kill detection
+            logger.warning("learned lip localizer unavailable: %s", e)
+        if localizer is not None:
+            from lipsync_tpu.preprocessing.lip_localizer import (
+                LearnedLipBackend,
+            )
+
+            cascade = LearnedLipBackend(cascade, localizer)
+        else:
+            cascade = LipRefinerBackend(cascade)
     tiers.append(cascade)
     _default_backend = ChainedDetector(tiers) if len(tiers) > 1 else tiers[0]
     return _default_backend

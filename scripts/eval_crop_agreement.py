@@ -11,8 +11,12 @@ and reports the IoU of each tier's box against the landmark-analog box
 
 * ``heuristic``  — face box -> (0.18-0.82 w, 0.52-0.96 h)
 * ``refined``    — heuristic box passed through ``refine_mouth_box``
-                   (the no-mediapipe lip localizer wired into the default
-                   detector chain)
+                   (the image-evidence refiner)
+* ``learned``    — heuristic box passed through the lip-localizer CNN
+                   (preprocessing/lip_localizer.py, wired into the default
+                   chain when weights exist; trained on a SEPARATE face
+                   renderer — scripts/train_lip_localizer.py). Reported
+                   with per-frame host latency for each tier.
 
 Usage:
     python scripts/eval_crop_agreement.py [--n 200] [--out report.json]
@@ -115,11 +119,22 @@ def landmark_analog(gt, h, w, pad: int = 20):
     )
 
 
-def run(n: int = 200, seed: int = 0) -> dict:
+def run(n: int = 200, seed: int = 0, weights: Path = None) -> dict:
+    import time
+
+    from lipsync_tpu.preprocessing import lip_localizer as ll
+
+    localizer = None
+    if weights is not None and Path(weights).exists():
+        localizer = ll.LipLocalizer.load(Path(weights))
+    elif ll.DEFAULT_WEIGHTS.exists():
+        localizer = ll.LipLocalizer.load()
+
     rng = np.random.RandomState(seed)
     h, w = 240, 320
-    ious_heur, ious_ref = [], []
-    ious_heur_gt, ious_ref_gt = [], []
+    ious_heur, ious_ref, ious_lrn = [], [], []
+    ious_heur_gt, ious_ref_gt, ious_lrn_gt = [], [], []
+    t_ref = t_lrn = 0.0
     refined_changed = 0
     for _ in range(n):
         face_w = int(rng.uniform(60, 140))
@@ -142,13 +157,21 @@ def run(n: int = 200, seed: int = 0) -> dict:
         heur = face_bbox_to_mouth_bbox(
             fx1, fy1, fx2 - fx1, fy2 - fy1, w, h
         )
+        t0 = time.perf_counter()
         refined = refine_mouth_box(frame, heur)
+        t_ref += time.perf_counter() - t0
         if refined != heur:
             refined_changed += 1
         ious_heur.append(bbox_iou(heur, target))
         ious_ref.append(bbox_iou(refined, target))
         ious_heur_gt.append(bbox_iou(heur, gt))
         ious_ref_gt.append(bbox_iou(refined, gt))
+        if localizer is not None:
+            t0 = time.perf_counter()
+            learned = localizer.refine(frame, heur)
+            t_lrn += time.perf_counter() - t0
+            ious_lrn.append(bbox_iou(learned, target))
+            ious_lrn_gt.append(bbox_iou(learned, gt))
 
     def stats(v):
         a = np.asarray(v)
@@ -158,7 +181,7 @@ def run(n: int = 200, seed: int = 0) -> dict:
             "p10": round(float(np.percentile(a, 10)), 4),
         }
 
-    return {
+    out = {
         "n_faces": n,
         "iou_vs_landmark_analog": {
             "heuristic": stats(ious_heur),
@@ -169,7 +192,13 @@ def run(n: int = 200, seed: int = 0) -> dict:
             "lip_refined": stats(ious_ref_gt),
         },
         "refined_changed_frac": round(refined_changed / n, 3),
+        "refine_ms_per_frame": round(t_ref / n * 1e3, 3),
     }
+    if localizer is not None:
+        out["iou_vs_landmark_analog"]["learned"] = stats(ious_lrn)
+        out["iou_vs_raw_lips"]["learned"] = stats(ious_lrn_gt)
+        out["learned_ms_per_frame"] = round(t_lrn / n * 1e3, 3)
+    return out
 
 
 def run_stride_sim(
@@ -246,6 +275,8 @@ def main() -> None:
     p.add_argument("--n", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=Path, default=None)
+    p.add_argument("--weights", type=Path, default=None,
+                   help="lip-localizer npz (default: shipped weights)")
     p.add_argument(
         "--stride", action="store_true",
         help="run the detection-stride trajectory simulation instead",
@@ -253,7 +284,7 @@ def main() -> None:
     args = p.parse_args()
     report = (
         run_stride_sim(seed=args.seed) if args.stride
-        else run(args.n, args.seed)
+        else run(args.n, args.seed, weights=args.weights)
     )
     text = json.dumps(report, indent=2)
     print(text)
