@@ -343,7 +343,12 @@ def main(argv=None) -> int:
     p.add_argument("--data-dir", type=Path, required=True,
                    help="Flat dir of multiface .avi + sidecar .json "
                         "(make_synthetic_dataset.py --style multiface)")
-    p.add_argument("--model-path", type=Path, required=True)
+    p.add_argument("--model-path", type=Path, default=None)
+    p.add_argument("--stub-engine", action="store_true",
+                   help="score with a brightness stub instead of a model: "
+                        "validates detection/tracking/attribution metrics "
+                        "(face recovery, spurious tracks, timeline "
+                        "plumbing) without TPU weights")
     p.add_argument("--output", type=Path,
                    default=Path("docs/eval/multiface.json"))
     p.add_argument("--limit", type=int, default=0)
@@ -356,15 +361,21 @@ def main(argv=None) -> int:
 
     from lipsync_tpu.inference.predictor import Predictor, PredictorConfig
 
-    predictor = Predictor(
-        model_path=args.model_path,
-        config=PredictorConfig(
-            calibration_method=args.calibration_method,
-            calibration_temperature=args.calibration_temperature,
-            calibration_platt_a=args.calibration_platt_a,
-            calibration_platt_b=args.calibration_platt_b,
-        ),
+    cfg = PredictorConfig(
+        calibration_method=args.calibration_method,
+        calibration_temperature=args.calibration_temperature,
+        calibration_platt_a=args.calibration_platt_a,
+        calibration_platt_b=args.calibration_platt_b,
     )
+    if args.stub_engine:
+        sys.path.insert(0, str(REPO / "tests"))
+        from test_predictor import StubEngine
+
+        predictor = Predictor(config=cfg, engine=StubEngine())
+    elif args.model_path is None:
+        p.error("--model-path or --stub-engine required")
+    else:
+        predictor = Predictor(model_path=args.model_path, config=cfg)
 
     clips = sorted(args.data_dir.glob("*.avi"))
     if args.limit:
