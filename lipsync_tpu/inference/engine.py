@@ -194,6 +194,11 @@ class ScoringEngine:
         else:
             self._track_fwd = jax.jit(track_fn)
 
+    @property
+    def variables(self):
+        """The loaded model variables (params + batch_stats), device-put."""
+        return self._variables
+
     # ------------------------------------------------------------------
     def dispatch_logits(self, visual: np.ndarray, audio: np.ndarray):
         """ASYNC single-group scoring: pad/bucket/upload/dispatch one batch

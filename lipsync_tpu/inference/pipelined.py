@@ -290,6 +290,7 @@ def _dispatch(
                 book.state.start_frame_idx + s,
                 total_frames,
                 chunk_a_size=audio_frames,
+                chunk_v_size=chunk_size,
             )
             for s in batch
         ])[..., None]

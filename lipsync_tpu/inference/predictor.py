@@ -744,6 +744,7 @@ class Predictor:
                     policy.align_audio_chunk(
                         audio_np_full, abs_start, total_v_frames,
                         chunk_a_size=self.model_config.audio_frames,
+                        chunk_v_size=cfg.chunk_size,
                     )
                     for abs_start in tr.abs_chunk_starts
                 ])
@@ -762,6 +763,7 @@ class Predictor:
                             audio_np_full, tr.abs_chunk_starts[ci],
                             total_v_frames,
                             chunk_a_size=self.model_config.audio_frames,
+                        chunk_v_size=cfg.chunk_size,
                         ),
                     )
 
@@ -783,6 +785,7 @@ class Predictor:
                 policy.align_audio_chunk(
                     audio_np_full, tr.abs_chunk_starts[mid], total_v_frames,
                     chunk_a_size=self.model_config.audio_frames,
+                        chunk_v_size=cfg.chunk_size,
                 ),
             )
             selection = 0.65 * agg_conf + 0.20 * tr.stability + 0.15 * speaking
@@ -865,6 +868,7 @@ class Predictor:
                         policy.align_audio_chunk(
                             audio_np_full, v_start, total_v_frames,
                             chunk_a_size=self.model_config.audio_frames,
+                        chunk_v_size=cfg.chunk_size,
                         ),
                     )
                 except Exception:
@@ -970,6 +974,7 @@ class Predictor:
                             audio_np_full, best_tr_obj.abs_chunk_starts[idx],
                             total_v_frames,
                             chunk_a_size=self.model_config.audio_frames,
+                        chunk_v_size=cfg.chunk_size,
                         ),
                         motion_low_threshold=cfg.mouth_motion_low_threshold,
                         audio_high_threshold=cfg.audio_energy_high_threshold,

@@ -170,6 +170,12 @@ def run_grid(args, engine=None) -> Dict:
     true_fake = 1 - np.asarray(labels)  # positive class = FAKE
 
     grid = build_grid(engine.config.video_frames, engine.config.audio_frames)
+    if getattr(args, "cells", None):
+        wanted = [c.strip() for c in args.cells.split(",")]
+        grid = [
+            (n, f) for n, f in grid
+            if any(w in n for w in wanted)
+        ]
     cells = {}
     for name, perturb in grid:
         rng = np.random.RandomState(args.seed)
@@ -233,6 +239,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="P(FAKE) decision threshold")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--cells", default=None,
+                   help="comma list of cell-name substrings to run "
+                        "(e.g. 'clean,codec'); default all")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quantized-int8", action="store_true",
                    help="Serve through the int8 MXU conv lowering")

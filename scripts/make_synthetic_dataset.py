@@ -542,14 +542,39 @@ MULTIFACE_SCENES = (
 )
 
 
+def sample_phrased_syllables(seconds: float, rng) -> list:
+    """Syllables grouped into 2-5-syllable phrases separated by
+    0.3-0.8 s pauses — natural speech pausing. The reference's speaking
+    score correlates mouth-MOTION against audio ENERGY
+    (predictor.py:333-370): without speech/silence contrast inside a
+    2.13 s window the correlation is ~0 for genuinely synced speakers
+    (measured: 0.46 continuous vs 0.67 with a pause), so continuous
+    syllable streams make the speaking-track filter blind by
+    construction, not by model failure."""
+    out = []
+    t = rng.uniform(0.02, 0.15)
+    vowel_names = sorted(VOWELS)
+    while t < seconds - 0.1:
+        for _ in range(rng.randint(2, 6)):  # one phrase
+            if t >= seconds - 0.1:
+                break
+            dur = rng.uniform(0.15, 0.35)
+            v = vowel_names[rng.randint(len(vowel_names))]
+            out.append((t, min(t + dur, seconds), v,
+                        rng.uniform(0.6, 1.0)))
+            t += dur + rng.uniform(0.04, 0.15)
+        t += rng.uniform(0.30, 0.80)  # inter-phrase pause
+    return out
+
+
 def _span_tracks(span, seconds: float, sr: int, rng):
-    """Phoneme articulation confined to ``span=(t0, t1)``: syllables are
-    sampled inside the span; tracks are zero (mouth closed, voice silent)
-    outside it."""
+    """Phoneme articulation confined to ``span=(t0, t1)``: phrased
+    syllables are sampled inside the span; tracks are zero (mouth closed,
+    voice silent) outside it."""
     t0, t1 = span
     syl = [
         (s + t0, min(e + t0, t1), v, st)
-        for (s, e, v, st) in sample_syllables(t1 - t0, rng)
+        for (s, e, v, st) in sample_phrased_syllables(t1 - t0, rng)
     ]
     return phoneme_tracks(syl, seconds, sr, rng)
 

@@ -114,7 +114,7 @@ def _batch_reference(frames, audio_full, engine, chunk, stride):
         audio_windows = np.stack([
             policy.align_audio_chunk(
                 audio_full, tr.track_start_frame + s, len(frames),
-                chunk_a_size=TINY.audio_frames,
+                chunk_a_size=TINY.audio_frames, chunk_v_size=chunk,
             )
             for s in starts
         ])

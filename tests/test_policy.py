@@ -77,13 +77,44 @@ def test_mouth_motion_energy_check_golden(ref, rng):
         )
 
 
-def test_align_audio_chunk_golden(ref, rng):
+def test_align_audio_chunk_reference_slice_golden(ref, rng):
+    """reference_slice=True reproduces the reference's SERVING alignment
+    bit-for-bit (predictor.py:525-552) — kept for A/B measurement."""
     full = rng.rand(80, 300).astype(np.float32)
     full_t = full[None]  # (1, 80, 300)
     for v_start, total_v in [(0, 100), (40, 100), (95, 100), (0, 10)]:
-        ours = policy.align_audio_chunk(full, v_start, total_v, 128)
+        ours = policy.align_audio_chunk(
+            full, v_start, total_v, 128, reference_slice=True
+        )
         theirs = ref._align_audio_chunk(full_t, v_start, total_v, 128)
         np.testing.assert_allclose(ours, theirs[0], atol=1e-6)
+        assert ours.shape == (80, 128)
+
+
+def test_align_audio_chunk_matches_training_contract(rng):
+    """DEFAULT alignment = the training loader's formula (reference
+    dataset.py:428-446): slice the mel span covering the visual window
+    exactly, then integer-linspace resample to audio_frames. The
+    reference's serving path instead slices 128 RAW columns — only 60%
+    of the window at an untrained time scale (its own train/serve
+    mismatch, predictor.py:525-552) — which this rebuild does not
+    inherit."""
+    full = rng.rand(80, 1000).astype(np.float32)  # 10 s @ 100 Hz
+    total_v = 150  # 10 s @ 15 fps
+    for v_start in (0, 40, 118):
+        ours = policy.align_audio_chunk(full, v_start, total_v, 128)
+        # Training formula (training/data.py:148-159).
+        a_ratio = 1000 / total_v
+        mel_len = int(round(32 * a_ratio))
+        a_start = int(round(v_start * a_ratio))
+        want = full[:, a_start: a_start + mel_len]
+        if want.shape[1] < mel_len:
+            pad = np.repeat(
+                want[:, -1:], mel_len - want.shape[1], axis=1
+            )
+            want = np.concatenate([want, pad], axis=1)
+        idx = np.linspace(0, want.shape[1] - 1, 128).astype(np.int64)
+        np.testing.assert_allclose(ours, want[:, idx], atol=1e-6)
         assert ours.shape == (80, 128)
 
 
