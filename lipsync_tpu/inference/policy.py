@@ -102,6 +102,59 @@ def speaking_alignment_score(visual: np.ndarray, audio: np.ndarray) -> float:
     return float(np.clip((corr + 1.0) * 0.5, 0.0, 1.0))
 
 
+def speaking_articulation_score(visual: np.ndarray) -> float:
+    """Audio-independent articulation activity in the mouth region -> [0, 1].
+
+    The reference's only speaking signal is the motion<->audio-energy
+    correlation above (predictor.py:334-370), which conflates "is
+    speaking" with "is in sync": a DUBBED face articulates vigorously yet
+    its motion does not track the dubbed audio's envelope, so the
+    correlation sits near chance (0.5) and the face is never classified
+    as a speaking track — the speaker-case/policy layer then judges the
+    wrong (real, silent) face. Measured on the multiface production
+    replay: listener mean activity 0.483 vs speaker 0.561 under the
+    reference scorer (docs/eval/multiface_2f_r4.json).
+
+    This scorer answers only "is the mouth articulating": mean per-frame
+    motion in the lower (mouth) half of the crop, normalized by the
+    crop's own contrast so lighting/resolution/bit-depth cancel, mapped
+    through a logistic. Constants calibrated on recovered synthetic
+    tracks (speakers 0.12-0.25, listeners 0.056-0.072; midpoint 0.10,
+    scale 0.03 — BENCHMARKS.md "Multi-face production replay").
+
+    visual (T, H, W, 3), any real dtype.
+    """
+    frames = np.asarray(visual, np.float32).mean(axis=-1)  # (T, H, W)
+    if frames.shape[0] < 2:
+        return 0.5
+    h = frames.shape[1]
+    mouth = frames[:, h // 2 :, :]
+    motion = np.abs(np.diff(mouth, axis=0)).mean(axis=(1, 2))
+    scale = float(mouth.std()) + 1e-6
+    ratio = float(motion.mean()) / scale
+    return float(1.0 / (1.0 + np.exp(-(ratio - 0.10) / 0.03)))
+
+
+def speaking_score(
+    visual: np.ndarray, audio: np.ndarray, mode: str = "alignment"
+) -> float:
+    """Speaking-activity score under the configured semantics.
+
+    ``alignment``    — reference parity (predictor.py:334-370).
+    ``articulation`` — 0.7 * articulation + 0.3 * alignment: the visual
+        articulation gate decides, the sync correlation only nudges.
+        Separates speakers (incl. dubbed ones) from listeners where the
+        reference scorer cannot; opt-in via
+        ``PredictorConfig.speaking_score_mode``.
+    """
+    if mode == "articulation":
+        return float(
+            0.7 * speaking_articulation_score(visual)
+            + 0.3 * speaking_alignment_score(visual, audio)
+        )
+    return speaking_alignment_score(visual, audio)
+
+
 # ── Mouth motion energy check (predictor.py:372-461) ──────────────────────
 
 

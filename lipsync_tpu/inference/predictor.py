@@ -111,8 +111,20 @@ class PredictorConfig:
     # interior; strided border row/col deviates — off by default for
     # strict parity.
     fold_hf_stem: bool = False
+    # Speaking-activity semantics. "alignment" = reference parity: the
+    # motion<->audio-energy correlation (reference predictor.py:334-370),
+    # which cannot mark a DUBBED face as speaking (its motion doesn't
+    # track the dubbed audio), so speaker policies/timeline judge the
+    # wrong track in dubbed scenes (measured: docs/eval/multiface_*_r4).
+    # "articulation" = audio-independent mouth-motion gate blended with
+    # the correlation (policy.speaking_score); window winners then weight
+    # speaking at 0.50 instead of 0.10 so the timeline follows who is
+    # ARTICULATING, not who looks most real.
+    speaking_score_mode: str = "alignment"
 
     def __post_init__(self):
+        if self.speaking_score_mode not in {"alignment", "articulation"}:
+            self.speaking_score_mode = "alignment"
         if self.confidence_smoothing not in {"none", "median", "trimmed_mean"}:
             self.confidence_smoothing = "median"
         self.trim_ratio = float(min(max(self.trim_ratio, 0.0), 0.49))
@@ -417,7 +429,9 @@ class Predictor:
             visual_np = tr["clip"]
             track_clip_map[track_id] = visual_np
             stability = float(tr.get("stability", 0.0))
-            speaking = policy.speaking_alignment_score(visual_np, audio_np)
+            speaking = policy.speaking_score(
+                visual_np, audio_np, cfg.speaking_score_mode
+            )
             selection = 0.65 * raw_confidence + 0.20 * stability + 0.15 * speaking
             is_real = raw_confidence >= cfg.confidence_threshold
             track_results.append({
@@ -515,9 +529,21 @@ class Predictor:
                     a_end = int(round(end * (t_a / max(1, t_v))))
                     a_start = max(0, min(a_start, t_a - 1))
                     a_end = max(a_start + 1, min(a_end, t_a))
-                    win_speaking = policy.speaking_alignment_score(
-                        clip[start:end], audio_np[:, a_start:a_end]
+                    win_speaking = policy.speaking_score(
+                        clip[start:end], audio_np[:, a_start:a_end],
+                        cfg.speaking_score_mode,
                     )
+                    if cfg.speaking_score_mode == "articulation":
+                        # The window winner should be whoever is SPEAKING
+                        # in this span; its confidence then carries the
+                        # verdict. The parity weights (0.75 conf) pick the
+                        # most real-looking track instead, which inverts
+                        # the timeline in dubbed scenes.
+                        return (
+                            0.35 * float(t["window_confidences"][w_idx])
+                            + 0.15 * float(t.get("stability", 0.0))
+                            + 0.50 * win_speaking
+                        )
                     return (
                         0.75 * float(t["window_confidences"][w_idx])
                         + 0.15 * float(t.get("stability", 0.0))
@@ -780,13 +806,14 @@ class Predictor:
                 chunk_confs, cfg.confidence_smoothing, cfg.trim_ratio
             )
             mid = tr.num_chunks // 2
-            speaking = policy.speaking_alignment_score(
+            speaking = policy.speaking_score(
                 tr.chunk(mid),
                 policy.align_audio_chunk(
                     audio_np_full, tr.abs_chunk_starts[mid], total_v_frames,
                     chunk_a_size=self.model_config.audio_frames,
                         chunk_v_size=cfg.chunk_size,
                 ),
+                cfg.speaking_score_mode,
             )
             selection = 0.65 * agg_conf + 0.20 * tr.stability + 0.15 * speaking
             is_real = agg_conf >= cfg.confidence_threshold
@@ -849,13 +876,33 @@ class Predictor:
         chunk_window_results: List[Dict[str, Any]] = []
         for abs_start in sorted(by_abs_start):
             candidates = by_abs_start[abs_start]
-            win_tr, win_i = max(
-                candidates,
-                key=lambda c: (
-                    0.75 * float(c[0]["window_confidences"][c[1]])
-                    + 0.25 * float(c[0].get("stability", 0.0))
-                ),
-            )
+            if cfg.speaking_score_mode == "articulation":
+                # Winner = whoever is articulating in this span (see the
+                # short-path window_score note); per-candidate motion gate
+                # is audio-free and cheap (one diff over a 32-frame chunk).
+                def _artic(c):
+                    t, i = c
+                    tr_o = chunked_tracks[t["_track_idx"]]
+                    if i >= tr_o.num_chunks:
+                        return float(t.get("speaking_activity", 0.5))
+                    return policy.speaking_articulation_score(tr_o.chunk(i))
+
+                win_tr, win_i = max(
+                    candidates,
+                    key=lambda c: (
+                        0.35 * float(c[0]["window_confidences"][c[1]])
+                        + 0.15 * float(c[0].get("stability", 0.0))
+                        + 0.50 * _artic(c)
+                    ),
+                )
+            else:
+                win_tr, win_i = max(
+                    candidates,
+                    key=lambda c: (
+                        0.75 * float(c[0]["window_confidences"][c[1]])
+                        + 0.25 * float(c[0].get("stability", 0.0))
+                    ),
+                )
             v_start = int(win_tr["window_spans"][win_i][0])
             v_end = int(win_tr["window_spans"][win_i][1])
             win_conf = float(win_tr["window_confidences"][win_i])
@@ -863,13 +910,14 @@ class Predictor:
             win_speaking = float(win_tr.get("speaking_activity", 0.5))
             if win_i < tr_obj.num_chunks:
                 try:
-                    win_speaking = policy.speaking_alignment_score(
+                    win_speaking = policy.speaking_score(
                         tr_obj.chunk(win_i),
                         policy.align_audio_chunk(
                             audio_np_full, v_start, total_v_frames,
                             chunk_a_size=self.model_config.audio_frames,
                         chunk_v_size=cfg.chunk_size,
                         ),
+                        cfg.speaking_score_mode,
                     )
                 except Exception:
                     pass

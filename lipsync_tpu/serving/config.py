@@ -70,6 +70,11 @@ class Settings(BaseModel):
     # per scoring call.
     coalesce_requests: bool = True
     coalesce_max_wait_ms: float = 2.0
+    # TPU-rebuild knob (no reference analog): "articulation" replaces the
+    # reference's motion<->audio correlation as the speaking-activity
+    # signal so DUBBED faces still register as speaking tracks; see
+    # PredictorConfig.speaking_score_mode and docs/SERVING.md.
+    speaking_score_mode: str = "alignment"
     sqlite_db_path: str = "./jobs.db"
     run_embedded_worker: bool = True
     worker_poll_interval_sec: float = 1.0
@@ -110,6 +115,7 @@ class Settings(BaseModel):
             data_parallel_devices=self.data_parallel_devices,
             quantized_int8=self.quantized_int8,
             fold_hf_stem=self.fold_hf_stem,
+            speaking_score_mode=self.speaking_score_mode,
         )
 
 

@@ -357,6 +357,11 @@ def main(argv=None) -> int:
     p.add_argument("--calibration-temperature", type=float, default=1.0)
     p.add_argument("--calibration-platt-a", type=float, default=1.0)
     p.add_argument("--calibration-platt-b", type=float, default=0.0)
+    p.add_argument("--speaking-score-mode", default="alignment",
+                   choices=["alignment", "articulation"],
+                   help="alignment = reference-parity motion<->audio "
+                        "correlation; articulation = audio-independent "
+                        "mouth-motion gate (policy.speaking_score)")
     args = p.parse_args(argv)
 
     from lipsync_tpu.inference.predictor import Predictor, PredictorConfig
@@ -366,6 +371,7 @@ def main(argv=None) -> int:
         calibration_temperature=args.calibration_temperature,
         calibration_platt_a=args.calibration_platt_a,
         calibration_platt_b=args.calibration_platt_b,
+        speaking_score_mode=args.speaking_score_mode,
     )
     if args.stub_engine:
         sys.path.insert(0, str(REPO / "tests"))

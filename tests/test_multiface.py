@@ -194,3 +194,30 @@ def test_predictor_end_to_end_multiface(multiface_clip):
     row = eval_multiface.evaluate_clip(p, clip, truth)
     assert row["faces_recovered"] == 2
     assert row["speaker_case_gt"] == "mixed_real_and_fake"
+
+
+def test_predictor_multiface_articulation_mode(multiface_clip):
+    """speaking_score_mode='articulation' end to end over the 2-face
+    scene: the DUBBED speaker must register as articulating (>= the 0.50
+    policy threshold) and the silent listener must not — the separation
+    the reference's correlation scorer cannot make
+    (BENCHMARKS.md 'Multi-face production replay')."""
+    clip, truth = multiface_clip
+    from lipsync_tpu.inference.predictor import PredictorConfig
+    from tests.test_predictor import StubEngine, _make_predictor
+
+    cfg = PredictorConfig(
+        chunk_size=8, chunk_stride=4, speaking_score_mode="articulation"
+    )
+    p = _make_predictor(StubEngine(), tmp_cfg=cfg)
+    res = p.predict(clip)
+    assignment = eval_multiface.match_tracks_to_faces(res["tracks"], truth)
+    primary = eval_multiface.primary_track_per_face(res["tracks"], assignment)
+    assert set(primary) == {0, 1}
+    role = {f["slot"]: f["role"] for f in truth["faces"]}
+    for slot, tr in primary.items():
+        act = float(tr["speaking_activity"])
+        if role[slot] == "listener":
+            assert act < 0.50, f"listener slot {slot} activity {act}"
+        else:
+            assert act >= 0.50, f"{role[slot]} slot {slot} activity {act}"

@@ -55,6 +55,59 @@ def test_speaking_alignment_score_golden(ref, rng):
     assert abs(ours - theirs) < 1e-5
 
 
+def _talking_and_still_crops(rng, t=32, s=48):
+    """A crop whose mouth half oscillates vs one with sensor jitter only."""
+    base = rng.rand(s, s, 3).astype(np.float32)
+    talking = np.repeat(base[None], t, axis=0)
+    for i in range(t):
+        # Mouth opens/closes: a dark bar whose height swings with i
+        # (amplitude sized so the motion/contrast ratio lands in the
+        # measured speaker band 0.12-0.25, not at the 0.10 midpoint).
+        h = int((s // 5) * (1 + np.sin(i * 0.9)))
+        talking[i, s - s // 5 - h : s - s // 5, s // 4 : 3 * s // 4, :] = 0.05
+    still = np.repeat(base[None], t, axis=0)
+    still += rng.randn(t, s, s, 3).astype(np.float32) * 0.002
+    return talking, still
+
+
+def test_speaking_articulation_score_separates_talking_from_still(rng):
+    talking, still = _talking_and_still_crops(rng)
+    talk_score = policy.speaking_articulation_score(talking)
+    still_score = policy.speaking_articulation_score(still)
+    assert talk_score > 0.7
+    assert still_score < 0.3
+    # Scale/bit-depth invariance: uint8-range input scores the same.
+    talk_255 = policy.speaking_articulation_score(talking * 255.0)
+    assert abs(talk_255 - talk_score) < 1e-4
+    # Degenerate inputs return the neutral 0.5.
+    assert policy.speaking_articulation_score(talking[:1]) == 0.5
+
+
+def test_speaking_score_mode_dispatch(rng):
+    """alignment == reference scorer; articulation stays high for a DUBBED
+    face (articulating mouth, uncorrelated audio) where alignment cannot
+    (the round-4 multiface failure mode, docs/eval/multiface_2f_r4.json)."""
+    talking, still = _talking_and_still_crops(rng)
+    audio = (rng.rand(80, 64).astype(np.float32) * 60) - 60  # uncorrelated
+    assert policy.speaking_score(talking, audio, "alignment") == (
+        policy.speaking_alignment_score(talking, audio)
+    )
+    dubbed = policy.speaking_score(talking, audio, "articulation")
+    listener = policy.speaking_score(still, audio, "articulation")
+    assert dubbed > 0.55      # counted as a speaking track
+    assert listener < 0.50    # excluded from speaker policies
+
+
+def test_predictor_config_validates_speaking_mode():
+    from lipsync_tpu.inference.predictor import PredictorConfig
+
+    assert PredictorConfig(speaking_score_mode="bogus").speaking_score_mode \
+        == "alignment"
+    assert PredictorConfig(
+        speaking_score_mode="articulation"
+    ).speaking_score_mode == "articulation"
+
+
 def test_mouth_motion_energy_check_golden(ref, rng):
     cases = [
         (rng.rand(8, 32, 32, 3).astype(np.float32),
