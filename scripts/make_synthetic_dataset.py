@@ -441,9 +441,26 @@ def write_phoneme_pair(
       paths) can catch it; held out of training
     """
     sr, fps, seconds = args.sr, args.fps, args.seconds
+
+    def _maybe_interfere(pcm_in: np.ndarray) -> np.ndarray:
+        """Cocktail-party augmentation: mix an INDEPENDENT speech stream
+        under the clip's own audio (label unchanged). Guarded so the rng
+        sequence of existing seeds is untouched when the knob is off."""
+        prob = float(getattr(args, "interference_prob", 0.0) or 0.0)
+        if prob <= 0.0 or rng.rand() >= prob:
+            return pcm_in
+        syl_i = sample_syllables(seconds, rng)
+        _, _, _, f1i, f2i, vi = phoneme_tracks(syl_i, seconds, sr, rng)
+        lo, hi = getattr(args, "interference_gain", (0.35, 0.65))
+        mixed = pcm_in + float(rng.uniform(lo, hi)) * synth_phoneme_audio(
+            f1i, f2i, vi, sr, rng
+        )
+        peak = float(np.abs(mixed).max())
+        return (mixed / peak if peak > 1.0 else mixed).astype(np.float32)
+
     syl = sample_syllables(seconds, rng)
     o, w_, r, f1, f2, voiced = phoneme_tracks(syl, seconds, sr, rng)
-    pcm = synth_phoneme_audio(f1, f2, voiced, sr, rng)
+    pcm = _maybe_interfere(synth_phoneme_audio(f1, f2, voiced, sr, rng))
     frames = render_phoneme_clip(
         o, w_, r, pcm, seconds, fps, sr, rng,
         jitter=args.jitter, head_motion=not args.no_head_motion,
@@ -504,6 +521,7 @@ def write_phoneme_pair(
         syl_b = sample_syllables(seconds, rng)
         ov, wv, rv, _, _, _ = phoneme_tracks(syl_b, seconds, sr, rng)
 
+    pcm_f = _maybe_interfere(pcm_f)
     if mode == "composite":
         # Perfectly synced A/V; the manipulation is pure pixel-blending
         # artifacts in the lip region (no sync signal at all).
@@ -782,6 +800,16 @@ def main(argv=None) -> int:
                         f"({','.join(MULTIFACE_SCENES)}); default all")
     p.add_argument("--no-head-motion", action="store_true",
                    help="phoneme style: disable the slow head drift")
+    p.add_argument("--interference-prob", type=float, default=0.0,
+                   help="phoneme style: probability a clip's audio gets an "
+                        "independent background-speech stream mixed in "
+                        "(cocktail-party condition; labels unchanged — the "
+                        "face still matches/mismatches its OWN component). "
+                        "Targets the multiface mixed-scene residual "
+                        "(BENCHMARKS.md 'Multi-face production replay')")
+    p.add_argument("--interference-gain", type=float, nargs=2,
+                   default=(0.35, 0.65), metavar=("LO", "HI"),
+                   help="relative gain range of the interfering stream")
     p.add_argument("--fake-modes", default=None,
                    help="phoneme style: comma list of fake constructions "
                         f"to cycle ({','.join(PHONEME_FAKE_MODES)}). "
