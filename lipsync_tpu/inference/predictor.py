@@ -802,9 +802,28 @@ class Predictor:
         track_results: List[Dict[str, Any]] = []
         for ti, tr in enumerate(chunked_tracks):
             chunk_confs = probs_by_track[ti]
-            agg_conf = policy.robust_confidence(
-                chunk_confs, cfg.confidence_smoothing, cfg.trim_ratio
-            )
+            if cfg.speaking_score_mode == "articulation":
+                # A turn-taking speaker is silent half its chunks; those
+                # windows carry no sync evidence yet read "real", so the
+                # plain median dilutes a dubbed track toward real
+                # (measured: turn-taking speaker_verdict_accuracy 0.625
+                # vs 1.0 on always-speaking scenes). Weight each chunk by
+                # its articulation gate — the same 0.2-floor soft
+                # weighting the reference applies to the best track's
+                # windows (speech_weighted_confidence).
+                chunk_artic = [
+                    policy.speaking_articulation_score(tr.chunk(ci))
+                    for ci in range(tr.num_chunks)
+                ][: len(chunk_confs)]
+                agg_conf = policy.speech_weighted_confidence(
+                    chunk_confs, chunk_artic,
+                    smoothing=cfg.confidence_smoothing,
+                    trim_ratio=cfg.trim_ratio,
+                )
+            else:
+                agg_conf = policy.robust_confidence(
+                    chunk_confs, cfg.confidence_smoothing, cfg.trim_ratio
+                )
             mid = tr.num_chunks // 2
             speaking = policy.speaking_score(
                 tr.chunk(mid),
