@@ -25,6 +25,11 @@ PROB=${PROB:-0.7}
 EPOCHS=${EPOCHS:-12}
 T=${T:-/tmp/intf_r4}
 W0=${W0:-/tmp/r4_weights/best_model_accuracy}
+OUT=${OUT:-docs/eval}      # where the replay artifacts land; point at /tmp
+SUFFIX=${SUFFIX:-}         # e.g. "_smoke" for reduced-scale validation runs
+CAL0=${CAL0:-/tmp/r4ph_calib_pre}   # clean calib split to merge with
+MF_DIR=${MF_DIR:-/tmp/mf_scenes}    # multiface scenes at ${MF_DIR}_{2f,3f}
+UNSEEN_DIR=${UNSEEN_DIR:-/tmp/unseen_r4}  # pre_{shift,swap,scramble} inside
 
 log() { echo "[$(date +%H:%M:%S)] $*"; }
 mkdir -p "$T"
@@ -43,7 +48,7 @@ for d in raw rawcal; do
       --output-dir "$T/pre_$d" --mode full_sequence; }
 done
 [ -d "$T/pre_calib" ] || python scripts/merge_preprocessed_dirs.py \
-  /tmp/r4ph_calib_pre "$T/pre_rawcal" --out "$T/pre_calib"
+  "$CAL0" "$T/pre_rawcal" --out "$T/pre_calib"
 
 if [ ! -d "$T/weights/best_model_f1" ]; then
   log "finetune $EPOCHS epochs from $W0"
@@ -62,17 +67,17 @@ log "platt a=$PA b=$PB"
 
 for nf in 2 3; do
   log "multiface replay (${nf}f, articulation, interference-adapted)"
-  python scripts/eval_multiface.py --data-dir "/tmp/mf_scenes_${nf}f" \
+  python scripts/eval_multiface.py --data-dir "${MF_DIR}_${nf}f" \
     --model-path "$WA" --speaking-score-mode articulation \
     --calibration-method platt \
     --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
-    --output "docs/eval/multiface_${nf}f_r4_intf.json"
+    --output "$OUT/multiface_${nf}f_r4_intf${SUFFIX}.json"
 done
 
 log "forgetting check on the seen constructions"
 python scripts/eval_unseen_fakes.py --model-path "$WA" \
   --model-name "phoneme_r4_interference" \
-  --work-dir /tmp/unseen_r4 --skip-generate --skip-precompute \
+  --work-dir "$UNSEEN_DIR" --skip-generate --skip-precompute \
   --constructions shift,swap,scramble \
   --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
   --output "$T/seen_forgetting.json"

@@ -440,3 +440,40 @@ def test_eval_unseen_fakes_pipeline(tmp_path, monkeypatch):
     assert len(seeds) == 9
     for s in gens:
         assert s[s.index("--fake-modes") + 1] in got["constructions"]
+
+
+def test_interference_mixing_label_preserving(tmp_path):
+    """--interference-prob (cocktail-party augmentation feeding
+    scripts/train_interference_r4.sh) mixes an INDEPENDENT phoneme stream
+    under a clip's own audio. Contract: prob=0 leaves the rng sequence —
+    and therefore the output — untouched; prob=1 changes the AUDIO while
+    keeping duration and the real/fake file inventory (labels ride the
+    directory, so label assignment is unchanged by construction); the
+    mixer renormalizes so the int16 mux cannot clip."""
+    import make_synthetic_dataset as msd
+    from lipsync_tpu.preprocessing.ingest import read_audio
+
+    def gen(prob, name):
+        d = tmp_path / name
+        (d / "r").mkdir(parents=True)
+        (d / "f").mkdir()
+        args = SimpleNamespace(
+            sr=16000, fps=15, seconds=1.0, jitter=False,
+            no_head_motion=True, interference_prob=prob,
+            interference_gain=(0.35, 0.65))
+        msd.write_phoneme_pair(
+            args, np.random.RandomState(11), d / "r", d / "f", 0)
+        return d
+
+    d_off, d_off2, d_on = gen(0.0, "off"), gen(0.0, "off2"), gen(1.0, "on")
+    for rel in ("r/real_0000.avi", "f/fake_0000.avi"):
+        a_off = read_audio(d_off / rel)
+        a_off2 = read_audio(d_off2 / rel)
+        a_on = read_audio(d_on / rel)
+        # knob-off determinism: same seed, same PCM bytes
+        assert np.array_equal(a_off, a_off2)
+        # the mix changes content, not duration
+        assert a_on.shape == a_off.shape
+        assert not np.array_equal(a_on, a_off)
+        # renormalized headroom survives the int16 round-trip
+        assert np.abs(a_on).max() <= 1.0 + 1e-3
