@@ -34,6 +34,22 @@ UNSEEN_DIR=${UNSEEN_DIR:-/tmp/unseen_r4}  # pre_{shift,swap,scramble} inside
 log() { echo "[$(date +%H:%M:%S)] $*"; }
 mkdir -p "$T"
 
+# The [ -d ... ] resume guards below reuse whatever is already in $T. That is
+# only sound if the knobs that shaped those artifacts are unchanged, so pin
+# them in a sentinel and refuse to resume across a knob change (ADVICE r4).
+PARAMS="NPC=$NPC NPC_CAL=$NPC_CAL PROB=$PROB W0=$W0 CAL0=$CAL0"
+if [ -f "$T/params.env" ]; then
+  if [ "$(cat "$T/params.env")" != "$PARAMS" ]; then
+    echo "ERROR: $T holds artifacts built with different knobs:" >&2
+    echo "  was: $(cat "$T/params.env")" >&2
+    echo "  now: $PARAMS" >&2
+    echo "Use a fresh T= dir (or rm -rf $T) when changing NPC/NPC_CAL/PROB/W0/CAL0." >&2
+    exit 2
+  fi
+else
+  echo "$PARAMS" > "$T/params.env"
+fi
+
 [ -d "$T/raw" ] || { log "generate interference train split"; \
   python scripts/make_synthetic_dataset.py --output-dir "$T/raw" \
     --n-per-class "$NPC" --style phoneme --jitter --hard-negatives \
