@@ -312,6 +312,17 @@ class GuardInputs:
     fake_vote_min_windows: int = 5
     weak_real_gate: float = 0.08
     weak_real_window_threshold: float = 0.30
+    # Track id of each window's winning track (turn-aware mode). When set,
+    # the mixed-consensus signal requires a SINGLE track to show both
+    # strong-real and strong-fake windows: the reference counts strong
+    # votes globally (predictor.py:1022-1033), so a real speaker and a
+    # dubbed speaker alternating turns reads as "mixed evidence" and the
+    # clip is refused as uncertain — measured at 75-100% uncertain on
+    # turn_taking_dub scenes (docs/eval/multiface_*_r4_articulation.json).
+    # Alternating verdicts across DIFFERENT subjects is turn-taking
+    # structure, not contradictory evidence about one subject. TPU-rebuild
+    # improvement, opt-in via PredictorConfig.turn_aware_aggregation.
+    window_track_ids: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -357,9 +368,24 @@ def run_guard_cascade(g: GuardInputs) -> GuardOutputs:
     )
     final_confidence = float(0.5 * window_median + 0.5 * weighted)
 
-    strong_real = int(np.sum(conf_arr >= max(thr + 0.15, 0.65)))
-    strong_fake = int(np.sum(conf_arr <= min(thr - 0.15, 0.35)))
-    mixed_window_signal = strong_real >= 2 and strong_fake >= 2
+    real_gate = max(thr + 0.15, 0.65)
+    fake_gate = min(thr - 0.15, 0.35)
+    strong_real = int(np.sum(conf_arr >= real_gate))
+    strong_fake = int(np.sum(conf_arr <= fake_gate))
+    if (
+        g.window_track_ids is not None
+        and np.asarray(g.window_track_ids).size == conf_arr.size
+    ):
+        # Turn-aware: mixed evidence must be about ONE subject (see
+        # GuardInputs.window_track_ids).
+        ids = np.asarray(g.window_track_ids)
+        mixed_window_signal = any(
+            int(np.sum(conf_arr[ids == tid] >= real_gate)) >= 2
+            and int(np.sum(conf_arr[ids == tid] <= fake_gate)) >= 2
+            for tid in np.unique(ids)
+        )
+    else:
+        mixed_window_signal = strong_real >= 2 and strong_fake >= 2
 
     # Temporal drift (predictor.py:892-909).
     n_w = conf_arr.size
@@ -495,6 +521,91 @@ def speaker_policies(
         "majority_speaking_fake_policy_is_fake": bool(fake > real),
     }
     return case, count, real, fake, verdicts
+
+
+# ── Turn-aware per-segment verdicts (TPU-rebuild improvement) ─────────────
+#
+# The reference aggregates per-window winners GLOBALLY into one clip
+# confidence (predictor.py:1538-1602): in a scene where a real speaker and
+# a dubbed speaker alternate turns, real-looking and fake-looking windows
+# interleave, the global blend lands near the threshold, and the
+# mixed-consensus guard then refuses the clip as uncertain. Here each run
+# of consecutive windows won by the same track — a speaker TURN — gets its
+# own verdict from its own windows only; the clip verdict is then a policy
+# over segment verdicts (any speaking segment fake -> clip fake, matching
+# the reference's headline any_speaking_fake policy, predictor.py:1616).
+
+
+def turn_aware_segment_verdicts(
+    window_results: List[Dict[str, Any]],
+    confidence_threshold: float = 0.5,
+    smoothing: str = "median",
+    trim_ratio: float = 0.1,
+    min_windows: int = 2,
+    speaking_min: float = 0.50,
+) -> List[Dict[str, Any]]:
+    """Group consecutive same-track window winners into segments and issue
+    a verdict per segment.
+
+    A segment is ``decided`` when it has >= ``min_windows`` windows (one
+    stray window-winner flip is attribution noise, not a turn) and its mean
+    speaking activity >= ``speaking_min`` (a silent span carries no sync
+    evidence)."""
+    segments: List[Dict[str, Any]] = []
+    for wr in window_results:
+        tid = int(wr["selected_track_id"])
+        if segments and segments[-1]["track_id"] == tid:
+            seg = segments[-1]
+            seg["frame_end"] = max(seg["frame_end"], int(wr["frame_end"]))
+            if "time_end_sec" in wr:
+                seg["time_end_sec"] = float(wr["time_end_sec"])
+        else:
+            seg = {
+                "track_id": tid,
+                "frame_start": int(wr["frame_start"]),
+                "frame_end": int(wr["frame_end"]),
+                "_confs": [],
+                "_speaking": [],
+            }
+            if "time_start_sec" in wr:
+                seg["time_start_sec"] = float(wr["time_start_sec"])
+                seg["time_end_sec"] = float(wr.get("time_end_sec", 0.0))
+            segments.append(seg)
+        seg["_confs"].append(float(wr["confidence"]))
+        seg["_speaking"].append(float(wr.get("speaking_activity", 0.5)))
+
+    for seg in segments:
+        confs = seg.pop("_confs")
+        speaking = seg.pop("_speaking")
+        conf = robust_confidence(confs, smoothing, trim_ratio)
+        activity = float(np.mean(speaking)) if speaking else 0.5
+        seg["n_windows"] = len(confs)
+        seg["confidence"] = round(float(conf), 4)
+        seg["is_real"] = bool(conf >= confidence_threshold)
+        seg["is_fake"] = bool(conf < confidence_threshold)
+        seg["speaking_activity"] = round(activity, 4)
+        seg["decided"] = bool(
+            len(confs) >= min_windows and activity >= speaking_min
+        )
+    return segments
+
+
+def aggregate_segment_verdicts(
+    segments: List[Dict[str, Any]], confidence_threshold: float = 0.5
+) -> Optional[Tuple[float, bool]]:
+    """Clip verdict from decided segments: any fake speaking turn makes the
+    clip fake (confidence = the worst fake segment's), otherwise real
+    (median of segment confidences). None when no segment is decided —
+    caller falls back to the guard-cascade result."""
+    decided = [s for s in segments if s["decided"]]
+    if not decided:
+        return None
+    fakes = [s for s in decided if s["is_fake"]]
+    if fakes:
+        conf = min(float(s["confidence"]) for s in fakes)
+        return min(conf, confidence_threshold - 1e-4), False
+    conf = float(np.median([float(s["confidence"]) for s in decided]))
+    return max(conf, confidence_threshold), True
 
 
 # ── Window winner + speaker timeline (predictor.py:749-854) ───────────────

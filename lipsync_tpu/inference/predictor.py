@@ -121,10 +121,22 @@ class PredictorConfig:
     # speaking at 0.50 instead of 0.10 so the timeline follows who is
     # ARTICULATING, not who looks most real.
     speaking_score_mode: str = "alignment"
+    # Turn-aware multiface aggregation (TPU-rebuild improvement — see
+    # policy.turn_aware_segment_verdicts): per-speaker-turn verdicts +
+    # single-subject mixed-consensus, instead of the reference's global
+    # window blend that refuses real/dubbed turn-taking scenes as
+    # uncertain (predictor.py:1538-1602,1022-1033; measured 75-100%
+    # uncertain on turn_taking_dub, docs/eval/multiface_*_r4_articulation).
+    # "auto" = on exactly when speaking_score_mode == "articulation" (the
+    # timeline only follows who is SPEAKING in that mode); "on"/"off"
+    # force it. The alignment default stays reference-parity.
+    turn_aware_aggregation: str = "auto"
 
     def __post_init__(self):
         if self.speaking_score_mode not in {"alignment", "articulation"}:
             self.speaking_score_mode = "alignment"
+        if self.turn_aware_aggregation not in {"auto", "on", "off"}:
+            self.turn_aware_aggregation = "auto"
         if self.confidence_smoothing not in {"none", "median", "trimmed_mean"}:
             self.confidence_smoothing = "median"
         self.trim_ratio = float(min(max(self.trim_ratio, 0.0), 0.49))
@@ -966,6 +978,11 @@ class Predictor:
         turn_taking_detected = unique_speakers > 1
 
         # ── Guard cascade ────────────────────────────────────────────────
+        turn_aware = (
+            cfg.speaking_score_mode == "articulation"
+            if cfg.turn_aware_aggregation == "auto"
+            else cfg.turn_aware_aggregation == "on"
+        )
         all_chunk_confs = [float(c) for c in best_result["window_confidences"]]
         if chunk_window_results:
             window_confs = [float(w["confidence"]) for w in chunk_window_results]
@@ -976,12 +993,16 @@ class Predictor:
             window_vad = [
                 float(w.get("vad_coverage", 0.5)) for w in chunk_window_results
             ]
+            window_track_ids = [
+                int(w["selected_track_id"]) for w in chunk_window_results
+            ]
         else:
             window_confs = all_chunk_confs
             window_speaking = [
                 float(best_result.get("speaking_activity", 0.5))
             ] * len(window_confs)
             window_vad = None
+            window_track_ids = None
 
         guards = policy.run_guard_cascade(
             policy.GuardInputs(
@@ -990,6 +1011,11 @@ class Predictor:
                 window_vad=(
                     None if window_vad is None
                     else np.asarray(window_vad, np.float32)
+                ),
+                window_track_ids=(
+                    np.asarray(window_track_ids, np.int64)
+                    if turn_aware and window_track_ids is not None
+                    else None
                 ),
                 confidence_threshold=cfg.confidence_threshold,
                 smoothing=cfg.confidence_smoothing,
@@ -1013,6 +1039,7 @@ class Predictor:
                 speaking_activity_min=0.50,
             )
         )
+        track_policy_case = case
         conservative_override = bool(
             guards.window_consensus_uncertain and final_is_real
         )
@@ -1024,6 +1051,38 @@ class Predictor:
         if guards.sparse_real_guard_applied:
             case = "uncertain_override_sparse_real"
             verdicts = {k: False for k in verdicts}
+
+        # ── Turn-aware per-segment decision (multi-speaker scenes) ───────
+        # Each speaker turn is verdicted from its own windows; any fake
+        # speaking turn makes the clip fake (policy module docstring). The
+        # sparse-real and mouth-motion guards below encode SINGLE-subject
+        # semantics (a silent span on the one subject is suspicious); in a
+        # multi-speaker timeline silent spans on a track are EXPECTED
+        # (someone else is talking), so a segment decision supersedes them.
+        segment_verdicts: Optional[List[Dict[str, Any]]] = None
+        turn_aware_decided = False
+        if turn_aware and chunk_window_results:
+            segment_verdicts = policy.turn_aware_segment_verdicts(
+                chunk_window_results,
+                confidence_threshold=cfg.confidence_threshold,
+                smoothing=cfg.confidence_smoothing,
+                trim_ratio=cfg.trim_ratio,
+            )
+            if unique_speakers > 1:
+                seg_agg = policy.aggregate_segment_verdicts(
+                    segment_verdicts, cfg.confidence_threshold
+                )
+                if seg_agg is not None:
+                    final_confidence, final_is_real = seg_agg
+                    turn_aware_decided = True
+                    if guards.sparse_real_guard_applied or conservative_override:
+                        # Revert the single-subject overrides' side effects
+                        # (case/verdicts were blanked above).
+                        case = track_policy_case
+                        verdicts = dict(track_policy_verdicts)
+                        conservative_override = False
+                    override_reason = None
+                    selection_uncertain = False
 
         # ── Multi-window mouth motion check on best track ────────────────
         mouth_check: Dict[str, Any] = {"check_result": "no_data"}
@@ -1052,6 +1111,7 @@ class Predictor:
             if (
                 mouth_check["check_result"] == "likely_fake"
                 and cfg.mouth_motion_check
+                and not turn_aware_decided
             ):
                 final_confidence = float(
                     max(0.0, final_confidence - cfg.mouth_motion_fake_penalty)
@@ -1059,6 +1119,7 @@ class Predictor:
             elif (
                 mouth_check["check_result"] == "uncertain"
                 and cfg.mouth_motion_check
+                and not turn_aware_decided
             ):
                 if final_confidence < cfg.confidence_threshold:
                     conf_before_mm = final_confidence
@@ -1089,11 +1150,26 @@ class Predictor:
                 f"{seg.get('time_end_sec', 0):.1f}s)"
                 for seg in speaker_timeline
             )
-            detail = (
-                f"Long video ({dur_str}, {total_chunks} chunks analyzed). "
-                f"Speaker turn-taking detected: {spans_str}. Final verdict "
-                f"window-aggregated (confidence={final_confidence:.4f})."
-            )
+            if turn_aware_decided:
+                seg_str = ", ".join(
+                    f"track_{s['track_id']}="
+                    + ("fake" if s["is_fake"] else "real")
+                    + ("" if s["decided"] else "?")
+                    for s in (segment_verdicts or [])
+                )
+                detail = (
+                    f"Long video ({dur_str}, {total_chunks} chunks analyzed). "
+                    f"Speaker turn-taking detected: {spans_str}. Per-turn "
+                    f"verdicts [{seg_str}]; clip verdict is fake iff any "
+                    f"speaking turn is fake "
+                    f"(confidence={final_confidence:.4f})."
+                )
+            else:
+                detail = (
+                    f"Long video ({dur_str}, {total_chunks} chunks analyzed). "
+                    f"Speaker turn-taking detected: {spans_str}. Final verdict "
+                    f"window-aggregated (confidence={final_confidence:.4f})."
+                )
             selection_uncertain = False
         elif mouth_motion_override:
             detail = (
@@ -1168,6 +1244,8 @@ class Predictor:
             "conservative_override_applied": conservative_override,
             "window_results": chunk_window_results or None,
             "speaker_timeline": speaker_timeline or None,
+            "segment_verdicts": segment_verdicts,
+            "turn_aware_decided": bool(turn_aware_decided),
             "video_duration_sec": float(total_v_frames / max(1.0, fps)),
             "total_chunks_analyzed": int(total_chunks),
             "chunks_per_track_max": int(max_chunks),

@@ -221,3 +221,11 @@ def test_predictor_multiface_articulation_mode(multiface_clip):
             assert act < 0.50, f"listener slot {slot} activity {act}"
         else:
             assert act >= 0.50, f"{role[slot]} slot {slot} activity {act}"
+    # Articulation mode activates turn-aware aggregation (auto): the
+    # response must carry the per-segment verdict surface.
+    assert "turn_aware_decided" in res
+    if res["window_results"]:
+        assert res["segment_verdicts"], "articulation mode emits segments"
+        for seg in res["segment_verdicts"]:
+            assert {"track_id", "confidence", "is_fake", "n_windows",
+                    "decided"} <= set(seg)

@@ -321,3 +321,76 @@ def test_speaker_policies():
     assert verdicts["any_speaking_fake_policy_is_fake"]
     assert not verdicts["all_speaking_fake_policy_is_fake"]
     assert not verdicts["majority_speaking_fake_policy_is_fake"]
+
+
+# ── Turn-aware aggregation (TPU-rebuild improvement, round 5) ─────────────
+
+
+def test_mixed_consensus_is_per_track_when_ids_given():
+    """Alternating strong-real/strong-fake windows: the reference's global
+    counting (predictor.py:1022-1033) reads this as mixed evidence; with
+    track ids it is two subjects taking turns — only a SINGLE track showing
+    both signals is genuinely mixed."""
+    confs = [0.9, 0.05, 0.9, 0.05, 0.9, 0.05, 0.9, 0.05]
+    out = _guards(confs)
+    assert out.mixed_window_signal  # parity default unchanged
+    out2 = _guards(
+        confs, window_track_ids=np.asarray([1, 2, 1, 2, 1, 2, 1, 2])
+    )
+    assert not out2.mixed_window_signal
+    assert out2.strong_real == 4 and out2.strong_fake == 4  # still reported
+    out3 = _guards(confs, window_track_ids=np.ones(8, dtype=np.int64))
+    assert out3.mixed_window_signal  # one subject, genuinely mixed
+
+
+def _win(tid, conf, start, speaking=0.8):
+    return {
+        "selected_track_id": tid,
+        "confidence": conf,
+        "frame_start": start,
+        "frame_end": start + 32,
+        "speaking_activity": speaking,
+    }
+
+
+def test_turn_aware_segments_any_fake_turn_is_fake():
+    wins = (
+        [_win(1, 0.9, s) for s in range(0, 64, 8)]  # real speaker's turn
+        + [_win(2, 0.05, s) for s in range(64, 128, 8)]  # dubbed turn
+        + [_win(1, 0.88, s) for s in range(128, 192, 8)]  # real again
+    )
+    segs = policy.turn_aware_segment_verdicts(wins)
+    assert [s["track_id"] for s in segs] == [1, 2, 1]
+    assert [s["is_fake"] for s in segs] == [False, True, False]
+    assert all(s["decided"] for s in segs)
+    assert segs[1]["frame_start"] == 64 and segs[1]["frame_end"] == 152
+    conf, is_real = policy.aggregate_segment_verdicts(segs)
+    assert not is_real and conf < 0.5
+
+
+def test_turn_aware_segments_all_real():
+    wins = [_win(1, 0.9, s) for s in range(0, 64, 8)] + [
+        _win(2, 0.8, s) for s in range(64, 128, 8)
+    ]
+    segs = policy.turn_aware_segment_verdicts(wins)
+    conf, is_real = policy.aggregate_segment_verdicts(segs)
+    assert is_real and conf >= 0.5
+
+
+def test_turn_aware_undecided_segments_fall_back():
+    """One-window winner flips are attribution noise and silent spans carry
+    no sync evidence: neither decides, the caller keeps the cascade result."""
+    wins = [_win(1, 0.05, 0, speaking=0.2), _win(2, 0.9, 8)]
+    segs = policy.turn_aware_segment_verdicts(wins)
+    assert not any(s["decided"] for s in segs)
+    assert policy.aggregate_segment_verdicts(segs) is None
+
+
+def test_turn_aware_silent_fake_span_does_not_decide():
+    """A fake-reading but silent segment must not drive the clip fake."""
+    wins = [_win(1, 0.9, s) for s in range(0, 64, 8)] + [
+        _win(2, 0.1, s, speaking=0.2) for s in range(64, 128, 8)
+    ]
+    segs = policy.turn_aware_segment_verdicts(wins)
+    conf, is_real = policy.aggregate_segment_verdicts(segs)
+    assert is_real  # only the real speaking turn decides
