@@ -87,16 +87,38 @@ def fit_temperature(logits: np.ndarray, labels: np.ndarray) -> float:
     return float(res.x)
 
 
-def fit_platt(logits: np.ndarray, labels: np.ndarray) -> tuple:
-    """Nelder-Mead Platt scaling (fit_calibrator.py:104-120)."""
+def fit_platt(
+    logits: np.ndarray, labels: np.ndarray, smooth_targets: bool = True
+) -> tuple:
+    """Nelder-Mead Platt scaling (fit_calibrator.py:104-120).
+
+    TPU-rebuild deviation: by default the hard 0/1 labels are replaced by
+    Platt's (1999) smoothed targets t+ = (N+ + 1)/(N+ + 2),
+    t- = 1/(N- + 2). The reference's unregularized NLL fit diverges
+    (a -> inf) whenever the calibration split is perfectly separable —
+    measured on the round-5 regen (a=103.3, b=-383.3, a step function that
+    saturates every downstream confidence and breaks the uncertain-margin
+    logic). The smoothed targets bound the MLE on separable data while
+    matching the reference fit in the non-separable regime. Set
+    ``smooth_targets=False`` for the literal reference behavior.
+    """
     from scipy.optimize import minimize
 
     logits = np.asarray(logits, np.float64)
     labels = np.asarray(labels, np.float64)
+    targets = labels
+    if smooth_targets:
+        n_pos = float(labels.sum())
+        n_neg = float(len(labels) - n_pos)
+        t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+        t_neg = 1.0 / (n_neg + 2.0)
+        targets = np.where(labels > 0.5, t_pos, t_neg)
 
     def nll(ab):
         p = np.clip(_sigmoid(ab[0] * logits + ab[1]), 1e-7, 1 - 1e-7)
-        return -np.mean(labels * np.log(p) + (1 - labels) * np.log(1 - p))
+        return -np.mean(
+            targets * np.log(p) + (1 - targets) * np.log(1 - p)
+        )
 
     res = minimize(nll, x0=[1.0, 0.0], method="Nelder-Mead")
     return float(res.x[0]), float(res.x[1])

@@ -72,7 +72,7 @@ def collect_logits_preprocessed(args, engine=None):
 
 def main(argv=None, engine=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--preprocessed-dir", type=Path, required=True)
+    p.add_argument("--preprocessed-dir", type=Path, default=None)
     p.add_argument("--model-path", type=Path, default=None)
     p.add_argument("--method", choices=["temperature", "platt", "isotonic",
                                         "all"], default="all")
@@ -80,9 +80,22 @@ def main(argv=None, engine=None):
                    default=Path("isotonic_calibrator.pkl"))
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--save-logits", type=Path, default=None,
+                   help="write collected (logits, labels) to this .npz")
+    p.add_argument("--logits-in", type=Path, default=None,
+                   help="fit from a saved .npz instead of scoring the "
+                        "split (no model/TPU needed)")
     args = p.parse_args(argv)
 
-    logits, labels = collect_logits_preprocessed(args, engine=engine)
+    if args.logits_in is not None:
+        saved = np.load(args.logits_in)
+        logits, labels = saved["logits"], saved["labels"]
+    else:
+        if args.preprocessed_dir is None:
+            p.error("--preprocessed-dir required unless --logits-in given")
+        logits, labels = collect_logits_preprocessed(args, engine=engine)
+    if args.save_logits is not None:
+        np.savez(args.save_logits, logits=logits, labels=labels)
     logger.info("Collected %d logits (%.1f%% real)",
                 len(logits), labels.mean() * 100 if len(labels) else 0)
 

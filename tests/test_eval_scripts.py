@@ -205,6 +205,42 @@ def test_fit_calibrator_all_methods(preprocessed_dir, tmp_path):
     assert np.all((probs >= 0) & (probs <= 1))
 
 
+def test_fit_platt_bounded_on_separable_data(rng):
+    # The reference's unregularized Platt fit diverges (a -> inf) when the
+    # calib split is perfectly separable; the smoothed-target fit must stay
+    # bounded (measured failure: regen r5, a=103.3 step function).
+    from lipsync_tpu.inference.calibration import fit_platt
+
+    logits = np.concatenate([
+        rng.normal(6.0, 0.5, 100), rng.normal(-6.0, 0.5, 100)
+    ])
+    labels = np.concatenate([np.ones(100), np.zeros(100)])
+    a, b = fit_platt(logits, labels)
+    assert 0.0 < a < 5.0, a
+    # Midpoint stays between the two clusters.
+    assert -6.0 < -b / a < 6.0
+    # Smoothed fit still tracks a non-separable set like the reference fit.
+    logits2 = np.concatenate([
+        rng.normal(1.0, 1.5, 200), rng.normal(-1.0, 1.5, 200)
+    ])
+    labels2 = np.concatenate([np.ones(200), np.zeros(200)])
+    a_sm, _ = fit_platt(logits2, labels2)
+    a_ref, _ = fit_platt(logits2, labels2, smooth_targets=False)
+    assert abs(a_sm - a_ref) < 0.15
+
+
+def test_fit_calibrator_logits_roundtrip(tmp_path, rng):
+    # --save-logits / --logits-in lets refits skip TPU re-scoring.
+    npz = tmp_path / "cal_logits.npz"
+    logits = np.concatenate([rng.normal(3, 1, 50), rng.normal(-3, 1, 50)])
+    labels = np.concatenate([np.ones(50), np.zeros(50)])
+    np.savez(npz, logits=logits, labels=labels)
+    out = fit_calibrator.main(
+        ["--logits-in", str(npz), "--method", "platt"]
+    )
+    assert 0.0 < out["calibration_platt_a"] < 10.0
+
+
 def test_robustness_grid(preprocessed_dir, tmp_path):
     import eval_robustness_grid as erg
 
