@@ -124,15 +124,25 @@ def speaking_articulation_score(visual: np.ndarray) -> float:
 
     visual (T, H, W, 3), any real dtype.
     """
+    ratio = articulation_ratio(visual)
+    if ratio is None:
+        return 0.5
+    return float(1.0 / (1.0 + np.exp(-(ratio - 0.10) / 0.03)))
+
+
+def articulation_ratio(visual: np.ndarray) -> Optional[float]:
+    """Pre-logistic articulation activity: mean inter-frame mouth motion
+    over crop contrast. Exposed so the band calibration behind the 0.10
+    midpoint / 0.03 scale above can be re-measured on new scene families
+    (scripts/measure_articulation_bands.py). None when < 2 frames."""
     frames = np.asarray(visual, np.float32).mean(axis=-1)  # (T, H, W)
     if frames.shape[0] < 2:
-        return 0.5
+        return None
     h = frames.shape[1]
     mouth = frames[:, h // 2 :, :]
     motion = np.abs(np.diff(mouth, axis=0)).mean(axis=(1, 2))
     scale = float(mouth.std()) + 1e-6
-    ratio = float(motion.mean()) / scale
-    return float(1.0 / (1.0 + np.exp(-(ratio - 0.10) / 0.03)))
+    return float(motion.mean()) / scale
 
 
 def speaking_score(

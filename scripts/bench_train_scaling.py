@@ -1,29 +1,28 @@
-"""Train-step batch-scaling sweep on the production --device-cache path.
+"""Train-step batch-scaling curve: step ms / clips/s / MFU vs batch size.
 
-r4 VERDICT weak item 6: train MFU sat at 0.06 at the canonical batch 32
-and every training recipe (scripts/regen_r4.sh, train_interference_r4.sh)
-inherited that batch unmeasured — the bench's own conclusion ("large-run
-recipes should scale the batch, not the step count") was never tested.
-This sweeps the REAL jitted train step (two forwards + three losses +
-optimizer + on-device augmentation, lipsync_tpu/training/steps.py) over
-the HBM-resident corpus sampler (training/device_cache.py) at batch
-{32..512}, reporting steady-state step latency, clips/s, and MFU from
-XLA's compiled cost analysis, so recipes can adopt the knee.
+VERDICT r4 item 6: train MFU at the canonical batch 32 is 0.06 — the
+forward/backward is dominated by per-step overheads (dispatch, small-op
+launch, optimizer) rather than MXU work, and the regen recipes never
+acted on bench.py's own conclusion ("large-run recipes should scale the
+batch, not the step count"). This sweep measures the production train
+step (phase-3 optimizer, on-device augmentation, device-resident uint8
+batch — the ``--device-cache`` steady state) at batch {32..512} so the
+knee can be adopted by `scripts/regen_r4.sh` / `train_union_flagship.sh`.
 
-The reference trains at a fixed batch with no scaling study
-(`/root/reference/app/training/train.py:318-722`).
+Each batch size gets a FRESH TrainState: the jitted step donates its
+state buffers, so reusing one state across sizes dies on donated-buffer
+reuse (measured in the r5 verify drive).
 
 Usage:
-    python scripts/bench_train_scaling.py \
-        --preprocessed-dir /tmp/r4ph_train_pre \
-        --batches 32,64,128,256,512 \
-        --output docs/eval/train_scaling.json
+    JAX_PLATFORMS=tpu python scripts/bench_train_scaling.py \
+        [--batches 32,64,128,256,512] [--out docs/eval/train_scaling.json]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -33,126 +32,117 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
-def main(argv=None) -> int:
+
+def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--preprocessed-dir", type=Path, required=True,
-                   help="full_sequence preprocessed corpus "
-                        "(precompute_training_tensors.py)")
     p.add_argument("--batches", default="32,64,128,256,512")
-    p.add_argument("--steps", type=int, default=12,
-                   help="measured steady-state steps per batch size")
-    p.add_argument("--output", type=Path,
-                   default=Path("docs/eval/train_scaling.json"))
-    args = p.parse_args(argv)
-    batch_sizes = [int(b) for b in args.batches.split(",")]
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--out", type=Path, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (leave the TPU alone)")
+    args = p.parse_args()
 
-    import jax
-    import jax.numpy as jnp
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    cache_dir = str(REPO / "tests" / ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from lipsync_tpu.models import LipSyncModel, ModelConfig
     from lipsync_tpu.ops.augment import AugmentConfig
-    from lipsync_tpu.training.data import LipSyncDataset
-    from lipsync_tpu.training.device_cache import DeviceDatasetCache
     from lipsync_tpu.training.optimizers import make_phase_optimizer
-    from lipsync_tpu.training.steps import (
-        LossConfig,
-        create_train_state,
-        make_train_step,
-    )
-    from lipsync_tpu.utils.device import enable_persistent_compilation_cache
-
-    enable_persistent_compilation_cache()
-    platform = jax.devices()[0].platform
-    peak = {"tpu": 197e12}.get("tpu" if platform != "cpu" else "cpu", 1e11)
+    from lipsync_tpu.training.steps import TrainState, make_train_step
 
     cfg = ModelConfig()
-    model = LipSyncModel(cfg)
-    dataset = LipSyncDataset(
-        preprocessed_dir=args.preprocessed_dir, uint8_visual=True
-    )
-    cache = DeviceDatasetCache(dataset)
-    idx = list(range(len(dataset)))
+    platform = jax.devices()[0].platform
+    on_tpu = platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    peak = 197e12 if on_tpu else 0.0  # v5e bf16 public spec
 
-    # Phase-3 (full unfreeze) optimizer — the regime every long recipe
-    # spends its epochs in.
-    optimizer = make_phase_optimizer(3, 1e-4, 1e-4, kind="adam")
-    example = (
-        jnp.zeros((1, cfg.video_frames, cfg.crop_size, cfg.crop_size, 3)),
-        jnp.zeros((1, cfg.mel_bins, cfg.audio_frames, 1)),
-    )
+    model = LipSyncModel(cfg, dtype=dtype)
+    optimizer = make_phase_optimizer(3, lr_head=1e-4, lr_encoder=1e-4)
+
+    rng = np.random.RandomState(0)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.video_frames, cfg.crop_size, cfg.crop_size, 3),
+                      jnp.float32),
+            jnp.zeros((1, cfg.mel_bins, cfg.audio_frames, 1), jnp.float32),
+        )
+    variables = jax.device_put(variables, jax.devices()[0])
     train_step = jax.jit(
-        make_train_step(
-            model, optimizer, LossConfig(), augment_cfg=AugmentConfig()
-        ),
-        donate_argnums=(0,),
+        make_train_step(model, optimizer, augment_cfg=AugmentConfig())
     )
 
     rows = []
-    for bs in batch_sizes:
-        if bs > len(idx):
-            print(f"[scaling] skip batch {bs} > corpus {len(idx)}",
-                  file=sys.stderr)
-            continue
-        # Fresh state per shape: donate_argnums consumes the previous
-        # sweep's buffers.
-        state = create_train_state(
-            model, optimizer, jax.random.PRNGKey(0), example
+    for batch in [int(b) for b in args.batches.split(",")]:
+        print(f"[scaling] batch {batch}: staging ...",
+              file=sys.stderr, flush=True)
+        v = (rng.rand(batch, cfg.video_frames, cfg.crop_size, cfg.crop_size,
+                      3) * 255).astype(np.uint8)
+        a = (rng.rand(batch, cfg.mel_bins, cfg.audio_frames, 1) * 80.0
+             - 80.0).astype(np.float32)
+        lab = (rng.rand(batch) > 0.5).astype(np.float32)
+        batch_dev = {
+            "visual": jnp.asarray(v),
+            "audio": jnp.asarray(a),
+            "label": jnp.asarray(lab),
+        }
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=optimizer.init(variables["params"]),
+            rng=jax.random.PRNGKey(7),
         )
-        rng = np.random.RandomState(bs)
-        n_steps = args.steps + 3  # 3 warmups (compile + donation settle)
-        times, flops = [], 0.0
-        measured = 0
-        t_compile0 = time.perf_counter()
-        compile_s = None
-        while measured < n_steps:
-            for batch in cache.batches(idx, bs, rng=rng, train_mode=True):
-                if measured == 0:
-                    try:
-                        lowered = train_step.lower(state, batch).compile()
-                        analysis = lowered.cost_analysis()
-                        if isinstance(analysis, (list, tuple)):
-                            analysis = analysis[0]
-                        flops = float(analysis.get("flops", 0.0))
-                    except Exception:
-                        flops = 0.0
-                    compile_s = time.perf_counter() - t_compile0
-                t0 = time.perf_counter()
-                state, metrics = train_step(state, batch)
-                jax.block_until_ready(metrics["loss"])
-                times.append(time.perf_counter() - t0)
-                measured += 1
-                if measured >= n_steps:
-                    break
-        steady = times[3:]
-        step_s = float(np.median(steady))
-        clips_s = bs / step_s
-        mfu = (flops / step_s / peak) if flops else 0.0
-        rows.append({
-            "batch": bs,
-            "step_ms": round(step_s * 1e3, 1),
-            "clips_per_sec": round(clips_s, 1),
-            "mfu": round(mfu, 4),
-            "step_flops": flops,
-            "compile_s": round(compile_s or 0.0, 1),
-        })
-        print(f"[scaling] batch {bs:4d}: {rows[-1]['step_ms']:8.1f} ms/step "
-              f"{rows[-1]['clips_per_sec']:7.1f} clips/s MFU "
-              f"{rows[-1]['mfu']:.3f}", file=sys.stderr)
+        flops = 0.0
+        try:
+            compiled = train_step.lower(state, batch_dev).compile()
+            analysis = compiled.cost_analysis()
+            if isinstance(analysis, (list, tuple)):
+                analysis = analysis[0]
+            flops = float(analysis.get("flops", 0.0))
+        except Exception:
+            pass
 
-    out = {
-        "platform": platform,
-        "corpus_clips": len(idx),
-        "peak_flops": peak,
-        "note": "jitted phase-3 train step, device-cache sampler, "
-                "on-device augment; median of steady-state steps",
-        "rows": rows,
-    }
-    args.output.parent.mkdir(parents=True, exist_ok=True)
-    args.output.write_text(json.dumps(out, indent=1))
-    print(json.dumps(out))
-    return 0
+        # Warm (compile); then measure. The step donates `state`, so
+        # thread the returned state through the loop.
+        t0 = time.perf_counter()
+        state, m = train_step(state, batch_dev)
+        np.asarray(m["loss"])
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            state, m = train_step(state, batch_dev)
+            np.asarray(m["loss"])
+            times.append(time.perf_counter() - t0)
+        p50 = float(np.median(times))
+        row = {
+            "batch": batch,
+            "step_ms": round(p50 * 1e3, 2),
+            "clips_per_sec": round(batch / p50, 1),
+            "mfu": round(flops / p50 / peak, 4) if peak and flops else None,
+            "flops_per_step": round(flops) if flops else None,
+            "first_call_s": round(compile_s, 1),
+        }
+        print(f"[scaling] {row}", file=sys.stderr, flush=True)
+        rows.append(row)
+        del state, batch_dev
+
+    out = {"platform": platform, "dtype": dtype.__name__, "rows": rows}
+    text = json.dumps(out, indent=1)
+    print(text)
+    if args.out:
+        args.out.write_text(text)
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()

@@ -110,6 +110,162 @@ def render_face(
     return frame, face_box, gt
 
 
+def render_stress_face(
+    h: int, w: int, rng: np.random.RandomState,
+):
+    """Third, held-out stress family (VERDICT r4 item 7): pose tilt,
+    partial mouth occlusion, lighting gradient, motion blur — none of
+    which the localizer's training renderer or the standard eval family
+    above produce. Returns (frame, face_box, gt_mouth_box) where gt is
+    the PRE-occlusion lip extent (the landmark tier estimates occluded
+    lips too)."""
+    face_w = int(rng.uniform(60, 140))
+    face_h = int(face_w * 1.35)
+    cx = int(rng.uniform(face_w, w - face_w))
+    cy = int(rng.uniform(face_w, h - face_w * 0.8))
+    skin = np.asarray((205, 170, 150)) * rng.uniform(0.55, 1.15)
+    lip_color = np.asarray((150, 70, 70)) * rng.uniform(0.7, 1.2)
+    openness = rng.uniform(0, 1)
+
+    # Pose tilt: evaluate all shape masks in coordinates rotated about
+    # the face center.
+    theta = np.deg2rad(rng.uniform(-25, 25))
+    yy, xx = np.mgrid[0:h, 0:w]
+    dxr = (xx - cx) * np.cos(theta) + (yy - cy) * np.sin(theta)
+    dyr = -(xx - cx) * np.sin(theta) + (yy - cy) * np.cos(theta)
+
+    frame = rng.randint(0, 40, size=(h, w, 3)).astype(np.float32)
+    face = (dyr / (face_h / 2)) ** 2 + (dxr / (face_w / 2)) ** 2 < 1
+    frame[face] = skin
+    for exo in (-face_w // 4, face_w // 4):
+        eye = ((dyr + face_h // 5) ** 2 + (dxr - exo) ** 2) < (
+            face_w * 0.06
+        ) ** 2
+        frame[eye] = (40, 30, 30)
+
+    mdy = 0.30 * face_h  # mouth center offset below face center (rotated)
+    mhw = int(0.19 * face_w)
+    gap = max(1, int(face_h * 0.015 * (0.3 + openness)))
+    lip_h = max(2, int(face_h * 0.035))
+    upper = (
+        ((dyr - (mdy - gap - lip_h // 2)) / max(1, lip_h / 2)) ** 2
+        + (dxr / mhw) ** 2
+    ) < 1
+    lower = (
+        ((dyr - (mdy + gap + lip_h // 2)) / max(1, lip_h / 1.6)) ** 2
+        + (dxr / mhw) ** 2
+    ) < 1
+    mouth_line = (np.abs(dyr - mdy) < gap) & (np.abs(dxr) < mhw * 0.92)
+    frame[upper | lower] = lip_color
+    frame[mouth_line] = (45, 15, 15)
+
+    lip_mask = upper | lower | mouth_line
+    ys, xs = np.where(lip_mask)
+    if len(xs) == 0:
+        return None
+    gt = (int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1)
+
+    # Partial occlusion: a skin-ish or dark bar clipping one side of the
+    # mouth (microphone / hand caricature), covering up to ~35% of it.
+    if rng.rand() < 0.6:
+        occ_w = int((gt[2] - gt[0]) * rng.uniform(0.15, 0.35))
+        occ_h = int((gt[3] - gt[1]) * rng.uniform(0.6, 1.6))
+        side = rng.choice([0, 1])
+        ox1 = gt[0] - occ_w // 3 if side == 0 else gt[2] - 2 * occ_w // 3
+        oy1 = int(gt[1] + (gt[3] - gt[1]) * rng.uniform(-0.3, 0.5))
+        col = (
+            skin * rng.uniform(0.8, 1.1) if rng.rand() < 0.5
+            else np.asarray((35.0, 35.0, 40.0))
+        )
+        frame[max(0, oy1): oy1 + occ_h, max(0, ox1): ox1 + occ_w] = col
+
+    # Lighting gradient: linear ramp across a random direction.
+    ang = rng.uniform(0, 2 * np.pi)
+    ramp = (xx * np.cos(ang) + yy * np.sin(ang)).astype(np.float32)
+    ramp = (ramp - ramp.min()) / max(1e-6, ramp.max() - ramp.min())
+    lo, hi = rng.uniform(0.45, 0.8), rng.uniform(1.0, 1.35)
+    frame = frame * (lo + (hi - lo) * ramp)[..., None]
+
+    # Motion blur: horizontal box filter, k in {5..15} px.
+    if rng.rand() < 0.7:
+        k = int(rng.uniform(5, 15))
+        csum = np.cumsum(
+            np.pad(frame, ((0, 0), (k, 0), (0, 0))), axis=1
+        )
+        frame = (csum[:, k:] - csum[:, :-k]) / k
+
+    frame = frame + rng.randn(h, w, 3) * rng.uniform(0, 10)
+    frame = np.clip(frame, 0, 255).astype(np.uint8)
+
+    fys, fxs = np.where(face)
+    face_box = (
+        int(fxs.min()), int(fys.min()), int(fxs.max()) + 1, int(fys.max()) + 1
+    )
+    return frame, face_box, gt
+
+
+def run_stress(n: int = 200, seed: int = 0, weights: Path = None) -> dict:
+    """IoU of each tier on the stress family + the localizer's
+    fallback-fire rate (refine() returning the input box — patch too
+    small or the sanity check rejecting the prediction)."""
+    import time
+
+    from lipsync_tpu.preprocessing import lip_localizer as ll
+
+    localizer = None
+    if weights is not None and Path(weights).exists():
+        localizer = ll.LipLocalizer.load(Path(weights))
+    elif ll.DEFAULT_WEIGHTS.exists():
+        localizer = ll.LipLocalizer.load()
+
+    rng = np.random.RandomState(seed)
+    h, w = 240, 320
+    ious_heur, ious_ref, ious_lrn = [], [], []
+    fallback_fires = 0
+    t_lrn = 0.0
+    done = 0
+    while done < n:
+        r = render_stress_face(h, w, rng)
+        if r is None:
+            continue
+        frame, face_box, gt = r
+        done += 1
+        target = landmark_analog(gt, h, w)
+        fx1, fy1, fx2, fy2 = face_box
+        heur = face_bbox_to_mouth_bbox(fx1, fy1, fx2 - fx1, fy2 - fy1, w, h)
+        ious_heur.append(bbox_iou(heur, target))
+        ious_ref.append(bbox_iou(refine_mouth_box(frame, heur), target))
+        if localizer is not None:
+            t0 = time.perf_counter()
+            learned = localizer.refine(frame, heur)
+            t_lrn += time.perf_counter() - t0
+            if learned == heur:
+                fallback_fires += 1
+            ious_lrn.append(bbox_iou(learned, target))
+
+    def stats(v):
+        a = np.asarray(v)
+        return {
+            "mean": round(float(a.mean()), 4),
+            "median": round(float(np.median(a)), 4),
+            "p10": round(float(np.percentile(a, 10)), 4),
+        }
+
+    out = {
+        "n_faces": n,
+        "family": "stress (tilt ±25°, occlusion, lighting ramp, motion blur)",
+        "iou_vs_landmark_analog": {
+            "heuristic": stats(ious_heur),
+            "lip_refined": stats(ious_ref),
+        },
+    }
+    if localizer is not None:
+        out["iou_vs_landmark_analog"]["learned"] = stats(ious_lrn)
+        out["fallback_fire_rate"] = round(fallback_fires / n, 4)
+        out["learned_ms_per_frame"] = round(t_lrn / n * 1e3, 3)
+    return out
+
+
 def landmark_analog(gt, h, w, pad: int = 20):
     """What the FaceMesh tier would emit: lip extremes ±20 px
     (reference face_detection.py:428-438)."""
@@ -281,11 +437,17 @@ def main() -> None:
         "--stride", action="store_true",
         help="run the detection-stride trajectory simulation instead",
     )
-    args = p.parse_args()
-    report = (
-        run_stride_sim(seed=args.seed) if args.stride
-        else run(args.n, args.seed, weights=args.weights)
+    p.add_argument(
+        "--stress", action="store_true",
+        help="run the held-out stress family (tilt/occlusion/lighting/blur)",
     )
+    args = p.parse_args()
+    if args.stride:
+        report = run_stride_sim(seed=args.seed)
+    elif args.stress:
+        report = run_stress(args.n, args.seed, weights=args.weights)
+    else:
+        report = run(args.n, args.seed, weights=args.weights)
     text = json.dumps(report, indent=2)
     print(text)
     if args.out:

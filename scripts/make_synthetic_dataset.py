@@ -667,7 +667,8 @@ def build_multiface_scene(scene: str, n_faces: int, seconds: float,
 
 
 def render_multiface_clip(faces, seconds: float, fps: float, sr: int, rng,
-                          cell_w: int = 170, h: int = 150) -> np.ndarray:
+                          cell_w: int = 170, h: int = 150,
+                          articulation_gain: float = 1.0) -> np.ndarray:
     """Render 2-3 faces side by side, each a phoneme-style face in its own
     horizontal cell with per-face identity jitter + slow head drift (the
     single-face render_phoneme_clip drawing, composited per frame)."""
@@ -719,8 +720,8 @@ def render_multiface_clip(faces, seconds: float, fps: float, sr: int, rng,
                 eye = ((yy - (cy - int(h * scale) // 7)) ** 2
                        + (xx - ex) ** 2) < (h * 0.035 * scale) ** 2
                 img[eye] = (40, 30, 30)
-            o = face["openness"][idx[i]]
-            ww = face["width"][idx[i]]
+            o = face["openness"][idx[i]] * articulation_gain
+            ww = face["width"][idx[i]] * articulation_gain
             rr = face["rounding"][idx[i]]
             my = cy + int(h * scale) // 5
             ax = max(3.0, cell_w * scale * (0.055 + 0.075 * ww)
@@ -740,12 +741,14 @@ def render_multiface_clip(faces, seconds: float, fps: float, sr: int, rng,
 
 
 def write_multiface_scene(out_dir: Path, i: int, scene: str, n_faces: int,
-                          seconds: float, fps: float, sr: int, rng) -> None:
+                          seconds: float, fps: float, sr: int, rng,
+                          articulation_gain: float = 1.0) -> None:
     """One scene clip + ground-truth sidecar JSON (same stem)."""
     import json
 
     faces, pcm = build_multiface_scene(scene, n_faces, seconds, sr, rng)
-    frames, geo = render_multiface_clip(faces, seconds, fps, sr, rng)
+    frames, geo = render_multiface_clip(
+        faces, seconds, fps, sr, rng, articulation_gain=articulation_gain)
     stem = f"{scene}_{i:04d}"
     write_video(out_dir / f"{stem}.avi", frames, fps, pcm, sr)
     truth = {
@@ -792,6 +795,11 @@ def main(argv=None) -> int:
                         "multiface: 2-3 face scenes with per-face roles + "
                         "ground-truth sidecars (round-4; --n-per-class "
                         "scenes PER SCENE KIND, flat layout, no class dirs)")
+    p.add_argument("--articulation-gain", type=float, default=1.0,
+                   help="multiface style: scales the mouth open/width "
+                        "modulation amplitude (a VARIANT articulation "
+                        "style for the activity-band stability check, "
+                        "scripts/measure_articulation_bands.py)")
     p.add_argument("--n-faces", type=int, default=2, choices=(2, 3),
                    help="multiface style: faces per scene (turn-taking "
                         "scenes always use 2)")
@@ -833,6 +841,7 @@ def main(argv=None) -> int:
                 write_multiface_scene(
                     args.output_dir, i, scene, args.n_faces,
                     args.seconds, args.fps, args.sr, rng,
+                    articulation_gain=args.articulation_gain,
                 )
         print(f"Wrote {args.n_per_class} x {len(scenes)} multiface scenes "
               f"({args.n_faces} faces) to {args.output_dir}")

@@ -70,20 +70,25 @@ def render_training_face(rng: np.random.RandomState):
         )
         frame[nose] = skin * 0.85
 
-    # Lips.
+    # Lips. With prob 0.5 the whole mouth is tilted ±25° (pose tilt —
+    # part of the r5 stress hardening; the eval's stress family tilts the
+    # entire face with ITS OWN renderer).
     mcy = cy + int(rng.uniform(0.24, 0.34) * face_h)
     mcx = cx + int(rng.uniform(-0.04, 0.04) * face_w)
     mhw = int(rng.uniform(0.13, 0.24) * face_w)  # half width
     style = rng.randint(3)
     openness = rng.uniform(0, 1)
+    theta = np.deg2rad(rng.uniform(-25, 25)) if rng.rand() < 0.5 else 0.0
+    dxr = (xx - mcx) * np.cos(theta) + (yy - mcy) * np.sin(theta)
+    dyr = -(xx - mcx) * np.sin(theta) + (yy - mcy) * np.cos(theta)
     if style == 0:
         ay = max(2.0, face_h * (0.018 + 0.075 * openness))
-        lips = (((yy - mcy) / ay) ** 2 + ((xx - mcx) / mhw) ** 2) < 1
+        lips = ((dyr / ay) ** 2 + (dxr / mhw) ** 2) < 1
         frame[lips] = lip_color
         if openness > 0.25:
             inner = (
-                ((yy - mcy) / max(1.0, ay * 0.55)) ** 2
-                + ((xx - mcx) / max(2.0, mhw * 0.7)) ** 2
+                (dyr / max(1.0, ay * 0.55)) ** 2
+                + (dxr / max(2.0, mhw * 0.7)) ** 2
             ) < 1
             frame[inner] = lip_color * 0.4
         lip_mask = lips
@@ -93,26 +98,49 @@ def render_training_face(rng: np.random.RandomState):
         t_lo = (t_up if style == 1
                 else max(2, int(t_up * rng.uniform(1.2, 1.8))))
         upper = (
-            ((yy - (mcy - gap - t_up // 2)) / max(1, t_up / 2)) ** 2
-            + ((xx - mcx) / mhw) ** 2
+            ((dyr + gap + t_up // 2) / max(1, t_up / 2)) ** 2
+            + (dxr / mhw) ** 2
         ) < 1
         lower = (
-            ((yy - (mcy + gap + t_lo // 2)) / max(1, t_lo / 1.6)) ** 2
-            + ((xx - mcx) / mhw) ** 2
+            ((dyr - gap - t_lo // 2) / max(1, t_lo / 1.6)) ** 2
+            + (dxr / mhw) ** 2
         ) < 1
-        line = (np.abs(yy - mcy) < gap) & (np.abs(xx - mcx) < mhw * 0.9)
+        line = (np.abs(dyr) < gap) & (np.abs(dxr) < mhw * 0.9)
         frame[upper | lower] = lip_color
         frame[line] = (45, 15, 15)
         lip_mask = upper | lower | line
-
-    if noise > 0:
-        frame = frame + rng.randn(h, w, 3) * noise
-    frame = np.clip(frame, 0, 255).astype(np.uint8)
 
     ys, xs = np.where(lip_mask)
     if ys.size == 0:
         return None
     gt = (int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1)
+
+    # r5 stress augmentations (applied AFTER gt — the target stays the
+    # pre-occlusion lip extent): partial occluder, lighting ramp, motion
+    # blur. Probabilities keep the easy regime in the majority.
+    if rng.rand() < 0.35:
+        occ_w = max(2, int((gt[2] - gt[0]) * rng.uniform(0.12, 0.35)))
+        occ_h = max(2, int((gt[3] - gt[1]) * rng.uniform(0.5, 1.6)))
+        side = rng.randint(2)
+        ox1 = gt[0] - occ_w // 3 if side == 0 else gt[2] - 2 * occ_w // 3
+        oy1 = int(gt[1] + (gt[3] - gt[1]) * rng.uniform(-0.3, 0.5))
+        col = (skin * rng.uniform(0.8, 1.1) if rng.rand() < 0.5
+               else np.asarray((35.0, 35.0, 40.0)))
+        frame[max(0, oy1): oy1 + occ_h, max(0, ox1): ox1 + occ_w] = col
+    if rng.rand() < 0.4:
+        ang = rng.uniform(0, 2 * np.pi)
+        ramp = (xx * np.cos(ang) + yy * np.sin(ang)).astype(np.float32)
+        ramp = (ramp - ramp.min()) / max(1e-6, ramp.max() - ramp.min())
+        lo_, hi_ = rng.uniform(0.45, 0.85), rng.uniform(1.0, 1.35)
+        frame = frame * (lo_ + (hi_ - lo_) * ramp)[..., None]
+    if rng.rand() < 0.3:
+        k = int(rng.uniform(4, 14))
+        csum = np.cumsum(np.pad(frame, ((0, 0), (k, 0), (0, 0))), axis=1)
+        frame = (csum[:, k:] - csum[:, :-k]) / k
+
+    if noise > 0:
+        frame = frame + rng.randn(h, w, 3) * noise
+    frame = np.clip(frame, 0, 255).astype(np.uint8)
 
     # Cascade-like jitter on the face box, then the reference heuristic.
     jscale = rng.uniform(0.88, 1.15)

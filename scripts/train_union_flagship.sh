@@ -1,0 +1,171 @@
+#!/usr/bin/env bash
+# Grand-union flagship: ONE training run over both synthetic tiers, all
+# nine fake constructions, and cocktail-party interference clips — then
+# the full eval matrix against that single checkpoint (VERDICT r4 item 2).
+#
+# Every previous demonstration was a sequential finetune with measured
+# trades (composite+freeze adaptation dropped warp/splice AUC
+# 0.971/0.980 -> 0.953/0.955; round 3's adapted grid pushed 67 ms-shift
+# false alarms 4.6% -> 42.6%). This script replaces the prose ("joint
+# training is the production recipe") with the model: the checkpoint is
+# meant to be committed to weights/flagship and becomes the default for
+# the serving engine and eval scripts.
+#
+# Done-criteria chased (VERDICT r4 item 2): AUC >=0.99 on seen families,
+# >=0.95 on every sync-visible family, composite >=0.99, av_shift_2f
+# (133 ms) real->fake flip >=95% with av_shift_1f (67 ms) false-flips
+# <=10%, both tiers held simultaneously.
+#
+# Reference analog being replaced: the 3-phase single-corpus train.py +
+# per-construction finetune.py chain
+# (/root/reference/app/training/{train,finetune}.py).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+NPC_PH=${NPC_PH:-1350}       # phoneme union: /9 constructions = 150 each
+NPC_INTF=${NPC_INTF:-300}    # interference (babble-mix) clips/class
+NPC_ENV=${NPC_ENV:-300}      # envelope-tier clips/class
+NPC_CAL_PH=${NPC_CAL_PH:-225}
+NPC_CAL_INTF=${NPC_CAL_INTF:-60}
+NPC_CAL_ENV=${NPC_CAL_ENV:-60}
+EPOCHS=${EPOCHS:-60}
+BATCH=${BATCH:-128}          # knee of docs/eval/train_scaling.json
+U=${U:-/tmp/union_flagship}
+W=${W:-$U/weights}
+OUT=${OUT:-docs/eval}
+SUFFIX=${SUFFIX:-_flagship}
+ALL9="shift,swap,scramble,warp,splice,freeze,revoice,retime,composite"
+
+log() { echo "[$(date +%H:%M:%S)] $*"; }
+mkdir -p "$U"
+
+# Resume guards are parameter-pinned (ADVICE r4): refuse stale artifacts.
+PARAMS="NPC_PH=$NPC_PH NPC_INTF=$NPC_INTF NPC_ENV=$NPC_ENV EPOCHS=$EPOCHS BATCH=$BATCH"
+if [ -f "$U/params.env" ]; then
+  if [ "$(cat "$U/params.env")" != "$PARAMS" ]; then
+    echo "ERROR: $U holds artifacts built with different knobs (rm -rf $U)" >&2
+    exit 2
+  fi
+else
+  echo "$PARAMS" > "$U/params.env"
+fi
+
+# -- 1. train + calib splits (seeds disjoint from every other recipe) ------
+[ -d "$U/raw_ph" ] || { log "generate phoneme all-9 train ($NPC_PH/class)"; \
+  python scripts/make_synthetic_dataset.py --output-dir "$U/raw_ph" \
+    --n-per-class "$NPC_PH" --style phoneme --jitter --hard-negatives \
+    --fake-modes "$ALL9" --seed 501; }
+[ -d "$U/raw_intf" ] || { log "generate interference train ($NPC_INTF/class)"; \
+  python scripts/make_synthetic_dataset.py --output-dir "$U/raw_intf" \
+    --n-per-class "$NPC_INTF" --style phoneme --jitter --hard-negatives \
+    --fake-modes "$ALL9" --interference-prob 0.7 --seed 502; }
+[ -d "$U/raw_env" ] || { log "generate envelope-tier train ($NPC_ENV/class)"; \
+  python scripts/make_synthetic_dataset.py --output-dir "$U/raw_env" \
+    --n-per-class "$NPC_ENV" --style envelope --jitter --hard-negatives \
+    --seed 503; }
+[ -d "$U/rawcal_ph" ] || python scripts/make_synthetic_dataset.py \
+    --output-dir "$U/rawcal_ph" --n-per-class "$NPC_CAL_PH" \
+    --style phoneme --jitter --hard-negatives --fake-modes "$ALL9" --seed 511
+[ -d "$U/rawcal_intf" ] || python scripts/make_synthetic_dataset.py \
+    --output-dir "$U/rawcal_intf" --n-per-class "$NPC_CAL_INTF" \
+    --style phoneme --jitter --hard-negatives --fake-modes "$ALL9" \
+    --interference-prob 0.7 --seed 512
+[ -d "$U/rawcal_env" ] || python scripts/make_synthetic_dataset.py \
+    --output-dir "$U/rawcal_env" --n-per-class "$NPC_CAL_ENV" \
+    --style envelope --jitter --hard-negatives --seed 513
+
+for d in ph intf env; do
+  [ -d "$U/pre_$d" ] || { log "precompute raw_$d"; \
+    python scripts/precompute_training_tensors.py --data-dir "$U/raw_$d" \
+      --output-dir "$U/pre_$d" --mode full_sequence; }
+  [ -d "$U/precal_$d" ] || { log "precompute rawcal_$d"; \
+    python scripts/precompute_training_tensors.py --data-dir "$U/rawcal_$d" \
+      --output-dir "$U/precal_$d" --mode full_sequence; }
+done
+[ -d "$U/pre_train" ] || python scripts/merge_preprocessed_dirs.py \
+  "$U/pre_ph" "$U/pre_intf" "$U/pre_env" --out "$U/pre_train"
+[ -d "$U/pre_calib" ] || python scripts/merge_preprocessed_dirs.py \
+  "$U/precal_ph" "$U/precal_intf" "$U/precal_env" --out "$U/pre_calib"
+
+# -- 2. train from scratch (small-dataset recipe, docs/TRAINING.md) --------
+if [ ! -d "$W/best_model_accuracy" ]; then
+  log "train ($EPOCHS epochs max, batch $BATCH, device-cache)"
+  python -m lipsync_tpu.training.train \
+    --preprocessed-dir "$U/pre_train" --output-dir "$W" \
+    --epochs "$EPOCHS" --batch-size "$BATCH" --device-cache \
+    --phase2-start-epoch 0 --phase3-start-epoch 0 --lr-encoder 1e-4 \
+    --early-stopping-patience 8
+fi
+WF="$W/best_model_accuracy"
+
+# -- 3. calibrate (smoothed-target Platt; logits saved for refits) ----------
+log "fit Platt calibration"
+python scripts/fit_calibrator.py --preprocessed-dir "$U/pre_calib" \
+  --model-path "$WF" --method platt --save-logits "$U/calib_logits.npz" \
+  | tee "$U/platt.txt"
+PA=$(awk '/calibration_platt_a/{print $2}' "$U/platt.txt")
+PB=$(awk '/calibration_platt_b/{print $2}' "$U/platt.txt")
+log "platt a=$PA b=$PB"
+
+# -- 4. eval matrix ---------------------------------------------------------
+# 4a. 9-construction matrix on the SAME held-out sets as the zero-shot run
+#     (scripts/regen_r4.sh populates /tmp/unseen_r4).
+log "9-construction matrix"
+python scripts/eval_unseen_fakes.py --model-path "$WF" \
+  --model-name "union_flagship" --work-dir /tmp/unseen_r4 \
+  --skip-generate --skip-precompute \
+  --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
+  --output "$OUT/unseen_constructions${SUFFIX}.json"
+
+# 4b. robustness grid (incl. av_shift_1f/2f misalignment sensitivity) on a
+#     fresh held-out phoneme set.
+[ -d "$U/raw_test" ] || python scripts/make_synthetic_dataset.py \
+  --output-dir "$U/raw_test" --n-per-class 60 --style phoneme --jitter \
+  --hard-negatives --seed 601
+[ -d "$U/pre_test" ] || python scripts/precompute_training_tensors.py \
+  --data-dir "$U/raw_test" --output-dir "$U/pre_test" --mode full_sequence
+log "robustness grid"
+python scripts/eval_robustness_grid.py --preprocessed-dir "$U/pre_test" \
+  --model-path "$WF" --calibration-method platt \
+  --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
+  --output "$OUT/robustness_grid${SUFFIX}.json"
+
+# 4c. cross-tier: the one checkpoint scored on BOTH tiers' held-out sets.
+[ -d "$U/raw_test_env" ] || python scripts/make_synthetic_dataset.py \
+  --output-dir "$U/raw_test_env" --n-per-class 60 --style envelope \
+  --jitter --hard-negatives --seed 602
+[ -d "$U/pre_test_env" ] || python scripts/precompute_training_tensors.py \
+  --data-dir "$U/raw_test_env" --output-dir "$U/pre_test_env" \
+  --mode full_sequence
+log "cross-tier"
+python scripts/eval_cross_tier.py --model-path "$WF" \
+  --model-name "union_flagship" \
+  --test-dir "phoneme=$U/pre_test" --test-dir "envelope=$U/pre_test_env" \
+  --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
+  --output "$OUT/cross_tier${SUFFIX}.json"
+
+# 4d. multiface production replay, parity + articulation modes, on the
+#     regen scenes (plus fresh-seed sets when MF_EXTRA is set to e.g.
+#     /tmp/mf_fresh — eval'd with suffix _fresh).
+for nf in 2 3; do
+  for mode in parity articulation; do
+    msfx=""; [ "$mode" = articulation ] && msfx="_articulation"
+    log "multiface replay (${nf}f, $mode)"
+    python scripts/eval_multiface.py --data-dir "/tmp/mf_scenes_${nf}f" \
+      --model-path "$WF" --speaking-score-mode "$mode" \
+      --calibration-method platt \
+      --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
+      --output "$OUT/multiface_${nf}f${SUFFIX}${msfx}.json"
+    if [ -n "${MF_EXTRA:-}" ] && [ -d "${MF_EXTRA}_${nf}f" ]; then
+      log "multiface replay (${nf}f, $mode, fresh seeds)"
+      python scripts/eval_multiface.py --data-dir "${MF_EXTRA}_${nf}f" \
+        --model-path "$WF" --speaking-score-mode "$mode" \
+        --calibration-method platt \
+        --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
+        --output "$OUT/multiface_${nf}f${SUFFIX}${msfx}_fresh.json"
+    fi
+  done
+done
+
+log "done — checkpoint at $WF; copy into weights/flagship to ship:"
+log "  rm -rf weights/flagship && cp -r $WF weights/flagship"
