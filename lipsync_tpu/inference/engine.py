@@ -394,7 +394,7 @@ class ScoringEngine:
 
 
 def load_engine(
-    model_path: Path,
+    model_path: Optional[Path] = None,
     config: ModelConfig = ModelConfig(),
     calibrator: Optional[Calibrator] = None,
     use_bfloat16: Optional[bool] = None,
@@ -405,7 +405,17 @@ def load_engine(
 ) -> ScoringEngine:
     """Load weights (torch ``.pth`` checkpoints via the converter, or orbax
     directories) and build the engine. Mirrors the wrapper handling of
-    predictor.py:187-194."""
+    predictor.py:187-194. ``model_path=None`` falls back to the committed
+    flagship checkpoint (utils/weights.default_checkpoint)."""
+    if model_path is None:
+        from lipsync_tpu.utils.weights import default_checkpoint
+
+        model_path = default_checkpoint()
+        if model_path is None:
+            raise FileNotFoundError(
+                "No model path given and no committed flagship checkpoint "
+                "at weights/flagship"
+            )
     model_path = Path(model_path)
     if not model_path.exists():
         raise FileNotFoundError(f"Model weights not found at {model_path}")

@@ -189,7 +189,14 @@ class Predictor:
             self.engine.calibrator = calibrator
         else:
             if model_path is None:
-                raise ValueError("model_path or engine required")
+                from lipsync_tpu.utils.weights import default_checkpoint
+
+                model_path = default_checkpoint()
+            if model_path is None:
+                raise ValueError(
+                    "model_path or engine required (no committed flagship "
+                    "checkpoint found at weights/flagship)"
+                )
             mesh = None
             if config.data_parallel_devices > 1:
                 from lipsync_tpu.parallel import mesh as mesh_lib

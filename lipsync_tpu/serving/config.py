@@ -121,10 +121,27 @@ class Settings(BaseModel):
 
 def get_settings() -> Settings:
     """MODEL_PATH / SQLITE_DB_URL env overrides (config.py:83-94; the db
-    url accepts both a bare path and a sqlite:/// url)."""
+    url accepts both a bare path and a sqlite:/// url).
+
+    When neither MODEL_PATH nor the reference-parity default location
+    exists, the committed flagship checkpoint (weights/flagship, incl.
+    its fitted Platt constants) is used — a fresh clone serves real
+    verdicts with zero setup."""
     kwargs = {}
     if env_path := os.environ.get("MODEL_PATH"):
         kwargs["model_path"] = Path(env_path)
+    else:
+        from lipsync_tpu.utils.weights import (
+            default_calibration,
+            default_checkpoint,
+        )
+
+        default_loc = Settings.model_fields["model_path"].default
+        if not Path(default_loc).exists():
+            if shipped := default_checkpoint():
+                kwargs["model_path"] = shipped
+                if cal := default_calibration():
+                    kwargs.update(cal)
     if db_url := os.environ.get("SQLITE_DB_URL"):
         kwargs["sqlite_db_path"] = db_url.replace("sqlite:///", "")
     return Settings(**kwargs)

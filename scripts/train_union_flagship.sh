@@ -40,7 +40,9 @@ log() { echo "[$(date +%H:%M:%S)] $*"; }
 mkdir -p "$U"
 
 # Resume guards are parameter-pinned (ADVICE r4): refuse stale artifacts.
-PARAMS="NPC_PH=$NPC_PH NPC_INTF=$NPC_INTF NPC_ENV=$NPC_ENV EPOCHS=$EPOCHS BATCH=$BATCH"
+# Only DATASET-shaping knobs are pinned; changing EPOCHS/BATCH only
+# affects training, so clear $W (not $U) when changing those.
+PARAMS="NPC_PH=$NPC_PH NPC_INTF=$NPC_INTF NPC_ENV=$NPC_ENV NPC_CAL=$NPC_CAL_PH/$NPC_CAL_INTF/$NPC_CAL_ENV"
 if [ -f "$U/params.env" ]; then
   if [ "$(cat "$U/params.env")" != "$PARAMS" ]; then
     echo "ERROR: $U holds artifacts built with different knobs (rm -rf $U)" >&2
@@ -86,6 +88,11 @@ done
   "$U/pre_ph" "$U/pre_intf" "$U/pre_env" --out "$U/pre_train"
 [ -d "$U/pre_calib" ] || python scripts/merge_preprocessed_dirs.py \
   "$U/precal_ph" "$U/precal_intf" "$U/precal_env" --out "$U/pre_calib"
+
+if [ -n "${DATA_ONLY:-}" ]; then
+  log "DATA_ONLY set — datasets ready, exiting before training"
+  exit 0
+fi
 
 # -- 2. train from scratch (small-dataset recipe, docs/TRAINING.md) --------
 if [ ! -d "$W/best_model_accuracy" ]; then

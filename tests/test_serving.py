@@ -196,3 +196,49 @@ def test_multipart_parser_roundtrip():
     )
     assert parts["video_file"][0] == "a.mp4"
     assert parts["video_file"][1] == b"\x00\x01\x02binary\r\ndata"
+
+
+def test_default_checkpoint_discovery(tmp_path, monkeypatch):
+    # weights/flagship fallback + MODEL_PATH precedence
+    # (utils/weights.default_checkpoint; reference weights contract,
+    # config.py:83-94).
+    from lipsync_tpu.utils import weights as w
+
+    monkeypatch.delenv("MODEL_PATH", raising=False)
+    monkeypatch.setattr(w, "FLAGSHIP_DIR", tmp_path / "flagship")
+    assert w.default_checkpoint() is None
+
+    (tmp_path / "flagship").mkdir()
+    assert w.default_checkpoint() == tmp_path / "flagship"
+
+    override = tmp_path / "override.pth"
+    override.write_bytes(b"x")
+    monkeypatch.setenv("MODEL_PATH", str(override))
+    assert w.default_checkpoint() == override
+    # A missing MODEL_PATH falls through to the shipped default.
+    monkeypatch.setenv("MODEL_PATH", str(tmp_path / "nope.pth"))
+    assert w.default_checkpoint() == tmp_path / "flagship"
+
+
+def test_get_settings_flagship_fallback(tmp_path, monkeypatch):
+    from lipsync_tpu.serving import config as cfg_mod
+    from lipsync_tpu.utils import weights as w
+
+    monkeypatch.delenv("MODEL_PATH", raising=False)
+    flagship = tmp_path / "flagship"
+    flagship.mkdir()
+    flagship.with_suffix(".json").write_text(
+        json.dumps({"calibration_platt_a": 0.8, "calibration_platt_b": 0.1})
+    )
+    monkeypatch.setattr(w, "FLAGSHIP_DIR", flagship)
+    monkeypatch.chdir(tmp_path)  # reference default location absent
+    s = cfg_mod.get_settings()
+    assert s.model_path == flagship
+    assert s.calibration_method == "platt"
+    assert s.calibration_platt_a == 0.8
+
+    # Explicit MODEL_PATH still wins and skips the shipped calibration.
+    monkeypatch.setenv("MODEL_PATH", str(tmp_path / "other.pth"))
+    s2 = cfg_mod.get_settings()
+    assert s2.model_path == tmp_path / "other.pth"
+    assert s2.calibration_method == "none"
