@@ -121,7 +121,11 @@ def stage_conv(result: dict, args, out_path: Path) -> None:
     (quantize -> conv -> dequantize)."""
     rng = np.random.RandomState(1)
     rows = []
-    for name, ishape, ks, cin, cout, strides in CONV_SHAPES:
+    shapes = CONV_SHAPES
+    if args.shapes:
+        keep = set(args.shapes.split(","))
+        shapes = [s for s in CONV_SHAPES if s[0] in keep]
+    for name, ishape, ks, cin, cout, strides in shapes:
         b = args.batch
         x = rng.randn(b, *ishape).astype(np.float32)
         k = rng.randn(*ks, cin, cout).astype(np.float32) * 0.05
@@ -212,6 +216,8 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--max-dim", type=int, default=2048,
                    help="hard cap on GEMM size (4096 crashed the worker)")
+    p.add_argument("--shapes", default=None,
+                   help="comma list filtering the conv-stage shapes")
     p.add_argument("--out", type=Path,
                    default=Path("docs/eval/int8_diagnosis.json"))
     p.add_argument("--cpu", action="store_true")
