@@ -118,9 +118,16 @@ def speaking_articulation_score(visual: np.ndarray) -> float:
     This scorer answers only "is the mouth articulating": mean per-frame
     motion in the lower (mouth) half of the crop, normalized by the
     crop's own contrast so lighting/resolution/bit-depth cancel, mapped
-    through a logistic. Constants calibrated on recovered synthetic
-    tracks (speakers 0.12-0.25, listeners 0.056-0.072; midpoint 0.10,
-    scale 0.03 — BENCHMARKS.md "Multi-face production replay").
+    through a logistic (midpoint 0.10, scale 0.03). The midpoint is
+    cited to a SIX-family measurement (r4 VERDICT item 9,
+    scripts/measure_articulation_bands.py ->
+    docs/eval/articulation_bands_r5.json): original + fresh-seed 2f/3f
+    scenes plus 0.7x/1.3x articulation-gain variants give speaker
+    medians 0.125-0.155 and listener medians 0.080-0.090; 92-98% of
+    speakers land above 0.10 and 85-100% of listeners below, including
+    the weak-articulation variant. The bands overlap slightly near the
+    midpoint (min speaker ~0.09, max listener ~0.12), which is why the
+    blended score below keeps a 0.3 alignment term as the tie-breaker.
 
     visual (T, H, W, 3), any real dtype.
     """
