@@ -29,11 +29,36 @@ import tempfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 
 def score_tier(model_path: str, pre_dir: str, out_dir: Path,
                platt_a: float | None, platt_b: float | None,
-               limit: int | None, batch_size: int) -> dict:
+               limit: int | None, batch_size: int, engine=None) -> dict:
+    """Score one preprocessed dir. Default: a validate_pipeline
+    subprocess (isolation). With ``engine``: run in-process reusing the
+    already-loaded engine — each fresh process costs minutes of jax init
+    + checkpoint restore through the dev tunnel, which dominates matrix
+    evals (9+ invocations); measured r5 when the tunnel degraded to
+    ~2-3x its morning latency."""
+    if engine is not None:
+        sys.path.insert(0, str(REPO))
+        sys.path.insert(0, str(REPO / "scripts"))
+        import validate_pipeline as vp
+        from lipsync_tpu.inference.calibration import Calibrator
+
+        if platt_a is not None:
+            engine.calibrator = Calibrator.from_config(
+                method="platt", platt_a=platt_a, platt_b=platt_b)
+        else:
+            engine.calibrator = Calibrator.from_config(method="none")
+        ns = argparse.Namespace(
+            preprocessed_dir=Path(pre_dir), output_dir=Path(out_dir),
+            batch_size=batch_size, limit=limit, threshold=0.5)
+        m = vp.run_preprocessed_mode(ns, engine=engine)
+        return {k: m[k] for k in
+                ("roc_auc", "accuracy", "f1", "precision", "recall",
+                 "total") if k in m}
     cmd = [sys.executable, "scripts/validate_pipeline.py",
            "--preprocessed-dir", pre_dir, "--model-path", model_path,
            "--output-dir", str(out_dir), "--batch-size", str(batch_size)]
@@ -67,12 +92,20 @@ def main(argv=None) -> int:
     p.add_argument("--calibration-platt-b", type=float, default=None)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--in-process", action="store_true",
+                   help="load the engine once and score all tiers "
+                        "in-process (see score_tier)")
     p.add_argument("--output", type=Path, default=None)
     args = p.parse_args(argv)
 
     name = args.model_name or Path(args.model_path).parent.name
     result: dict = {"model": name, "model_path": args.model_path,
                     "tiers": {}}
+    engine = None
+    if args.in_process:
+        from lipsync_tpu.inference.engine import load_engine
+
+        engine = load_engine(args.model_path)
     for spec in args.test_dir:
         tier, _, pre_dir = spec.partition("=")
         if not pre_dir:
@@ -83,7 +116,7 @@ def main(argv=None) -> int:
             result["tiers"][tier] = score_tier(
                 args.model_path, pre_dir, Path(td),
                 args.calibration_platt_a, args.calibration_platt_b,
-                args.limit, args.batch_size)
+                args.limit, args.batch_size, engine=engine)
             print(f"[cross_tier]   {tier}: "
                   f"{json.dumps(result['tiers'][tier])}", flush=True)
 

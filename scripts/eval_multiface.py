@@ -338,7 +338,10 @@ def aggregate(rows: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
-def main(argv=None) -> int:
+def main(argv=None, engine=None) -> int:
+    """``engine``: reuse an already-loaded ScoringEngine across replay
+    configurations (engine load costs minutes per process on the dev
+    tunnel; the Predictor re-binds its calibrator per call)."""
     p = argparse.ArgumentParser()
     p.add_argument("--data-dir", type=Path, required=True,
                    help="Flat dir of multiface .avi + sidecar .json "
@@ -378,6 +381,8 @@ def main(argv=None) -> int:
         from test_predictor import StubEngine
 
         predictor = Predictor(config=cfg, engine=StubEngine())
+    elif engine is not None:
+        predictor = Predictor(config=cfg, engine=engine)
     elif args.model_path is None:
         p.error("--model-path or --stub-engine required")
     else:

@@ -87,6 +87,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--skip-generate", action="store_true")
     p.add_argument("--skip-precompute", action="store_true")
+    p.add_argument("--in-process", action="store_true",
+                   help="load the engine ONCE and score every "
+                        "construction in this process (saves minutes of "
+                        "jax init + checkpoint restore per construction "
+                        "on the tunneled dev box)")
     p.add_argument("--output", type=Path, default=None)
     args = p.parse_args(argv)
 
@@ -116,11 +121,16 @@ def main(argv=None) -> int:
                     "seen_in_training": list(SEEN),
                     "unseen_constructions": list(UNSEEN),
                     "constructions": {}}
+    engine = None
+    if args.in_process:
+        from lipsync_tpu.inference.engine import load_engine
+
+        engine = load_engine(args.model_path)
     for c in constructions:
         out_dir = w / f"eval_{c}"
         m = score_tier(args.model_path, str(w / f"pre_{c}"), out_dir,
                        args.calibration_platt_a, args.calibration_platt_b,
-                       None, args.batch_size)
+                       None, args.batch_size, engine=engine)
         m["unseen"] = c in UNSEEN
         result["constructions"][c] = m
         print(f"[{c}{' UNSEEN' if m['unseen'] else ''}] "

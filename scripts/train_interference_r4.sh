@@ -94,7 +94,7 @@ log "forgetting check on the seen constructions"
 python scripts/eval_unseen_fakes.py --model-path "$WA" \
   --model-name "phoneme_r4_interference" \
   --work-dir "$UNSEEN_DIR" --skip-generate --skip-precompute \
-  --constructions shift,swap,scramble \
+  --constructions shift,swap,scramble --in-process \
   --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
   --output "$T/seen_forgetting.json"
 cat "$T/seen_forgetting.json"

@@ -120,7 +120,7 @@ log "platt a=$PA b=$PB"
 log "9-construction matrix"
 python scripts/eval_unseen_fakes.py --model-path "$WF" \
   --model-name "union_flagship" --work-dir /tmp/unseen_r4 \
-  --skip-generate --skip-precompute \
+  --skip-generate --skip-precompute --in-process \
   --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
   --output "$OUT/unseen_constructions${SUFFIX}.json"
 
@@ -146,33 +146,43 @@ python scripts/eval_robustness_grid.py --preprocessed-dir "$U/pre_test" \
   --mode full_sequence
 log "cross-tier"
 python scripts/eval_cross_tier.py --model-path "$WF" \
-  --model-name "union_flagship" \
+  --model-name "union_flagship" --in-process \
   --test-dir "phoneme=$U/pre_test" --test-dir "envelope=$U/pre_test_env" \
   --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
   --output "$OUT/cross_tier${SUFFIX}.json"
 
-# 4d. multiface production replay, parity + articulation modes, on the
-#     regen scenes (plus fresh-seed sets when MF_EXTRA is set to e.g.
-#     /tmp/mf_fresh — eval'd with suffix _fresh).
-for nf in 2 3; do
-  for mode in parity articulation; do
-    msfx=""; [ "$mode" = articulation ] && msfx="_articulation"
-    log "multiface replay (${nf}f, $mode)"
-    python scripts/eval_multiface.py --data-dir "/tmp/mf_scenes_${nf}f" \
-      --model-path "$WF" --speaking-score-mode "$mode" \
-      --calibration-method platt \
-      --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
-      --output "$OUT/multiface_${nf}f${SUFFIX}${msfx}.json"
-    if [ -n "${MF_EXTRA:-}" ] && [ -d "${MF_EXTRA}_${nf}f" ]; then
-      log "multiface replay (${nf}f, $mode, fresh seeds)"
-      python scripts/eval_multiface.py --data-dir "${MF_EXTRA}_${nf}f" \
-        --model-path "$WF" --speaking-score-mode "$mode" \
-        --calibration-method platt \
-        --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
-        --output "$OUT/multiface_${nf}f${SUFFIX}${msfx}_fresh.json"
-    fi
-  done
-done
+# 4d. multiface production replay, articulation mode, on the regen
+#     scenes + fresh-seed sets (MF_EXTRA, e.g. /tmp/mf_fresh) — all
+#     replay sets share ONE loaded engine (engine load costs minutes per
+#     process on the dev tunnel).
+log "multiface replays (articulation; shared engine)"
+WF="$WF" PA="$PA" PB="$PB" OUT="$OUT" SUFFIX="$SUFFIX" \
+MF_EXTRA="${MF_EXTRA:-}" python - <<'PYEOF'
+import os, sys
+from pathlib import Path
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+from lipsync_tpu.inference.engine import load_engine
+import eval_multiface
+
+engine = load_engine(os.environ["WF"])
+pa, pb = os.environ["PA"], os.environ["PB"]
+out, sfx = os.environ["OUT"], os.environ["SUFFIX"]
+sets = [(f"/tmp/mf_scenes_{nf}f", f"{nf}f", "") for nf in (2, 3)]
+if os.environ.get("MF_EXTRA"):
+    sets += [(f"{os.environ['MF_EXTRA']}_{nf}f", f"{nf}f", "_fresh")
+             for nf in (2, 3)]
+for data_dir, nf, fresh in sets:
+    if not Path(data_dir).is_dir():
+        continue
+    print(f"[replay] {data_dir} articulation", flush=True)
+    eval_multiface.main([
+        "--data-dir", data_dir, "--speaking-score-mode", "articulation",
+        "--calibration-method", "platt",
+        "--calibration-platt-a", pa, "--calibration-platt-b", pb,
+        "--output", f"{out}/multiface_{nf}{sfx}_articulation{fresh}.json",
+    ], engine=engine)
+PYEOF
 
 log "done — checkpoint at $WF; copy into weights/flagship to ship:"
 log "  rm -rf weights/flagship && cp -r $WF weights/flagship"

@@ -205,6 +205,25 @@ def test_fit_calibrator_all_methods(preprocessed_dir, tmp_path):
     assert np.all((probs >= 0) & (probs <= 1))
 
 
+def test_score_tier_in_process(preprocessed_dir, tmp_path):
+    # The in-process path reuses one engine across tiers/constructions
+    # (eval_cross_tier.score_tier engine=...) — result keys and calibrator
+    # rebinding must match the subprocess path's contract.
+    import eval_cross_tier
+
+    eng = StubEngine()
+    m = eval_cross_tier.score_tier(
+        "unused", str(preprocessed_dir), tmp_path / "o1",
+        None, None, None, 4, engine=eng)
+    assert set(m) >= {"roc_auc", "accuracy", "f1"}
+    assert eng.calibrator.method == "none"
+    m2 = eval_cross_tier.score_tier(
+        "unused", str(preprocessed_dir), tmp_path / "o2",
+        0.9, 0.1, None, 4, engine=eng)
+    assert eng.calibrator.method == "platt"
+    assert m2["roc_auc"] == m["roc_auc"]  # monotone recalibration
+
+
 def test_fit_platt_bounded_on_separable_data(rng):
     # The reference's unregularized Platt fit diverges (a -> inf) when the
     # calib split is perfectly separable; the smoothed-target fit must stay
