@@ -81,14 +81,28 @@ PA=$(awk '/calibration_platt_a/{print $2}' "$T/platt.txt")
 PB=$(awk '/calibration_platt_b/{print $2}' "$T/platt.txt")
 log "platt a=$PA b=$PB"
 
-for nf in 2 3; do
-  log "multiface replay (${nf}f, articulation, interference-adapted)"
-  python scripts/eval_multiface.py --data-dir "${MF_DIR}_${nf}f" \
-    --model-path "$WA" --speaking-score-mode articulation \
-    --calibration-method platt \
-    --calibration-platt-a "$PA" --calibration-platt-b "$PB" \
-    --output "$OUT/multiface_${nf}f_r4_intf${SUFFIX}.json"
-done
+log "multiface replays (2f+3f, articulation, interference-adapted; one engine)"
+WA="$WA" PA="$PA" PB="$PB" OUT="$OUT" SUFFIX="$SUFFIX" MF_DIR="$MF_DIR" \
+python - <<'PYEOF'
+import os, sys
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+from lipsync_tpu.inference.engine import load_engine
+import eval_multiface
+
+engine = load_engine(os.environ["WA"])
+pa, pb = os.environ["PA"], os.environ["PB"]
+out, sfx, mf = os.environ["OUT"], os.environ["SUFFIX"], os.environ["MF_DIR"]
+for nf in (2, 3):
+    print(f"[replay] interference-adapted articulation {nf}f", flush=True)
+    eval_multiface.main([
+        "--data-dir", f"{mf}_{nf}f",
+        "--speaking-score-mode", "articulation",
+        "--calibration-method", "platt",
+        "--calibration-platt-a", pa, "--calibration-platt-b", pb,
+        "--output", f"{out}/multiface_{nf}f_r4_intf{sfx}.json",
+    ], engine=engine)
+PYEOF
 
 log "forgetting check on the seen constructions"
 python scripts/eval_unseen_fakes.py --model-path "$WA" \
