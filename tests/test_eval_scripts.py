@@ -468,8 +468,10 @@ def test_eval_unseen_fakes_pipeline(tmp_path, monkeypatch):
     def fake_run(cmd, log):
         steps.append([str(c) for c in cmd])
 
-    def fake_score(model_path, pre_dir, out_dir, a, b, limit, bs):
+    def fake_score(model_path, pre_dir, out_dir, a, b, limit, bs,
+                   engine=None):
         assert model_path == "/w/m" and a == 0.7 and b == -0.1
+        assert engine is None  # default path stays subprocess-isolated
         return {"roc_auc": 0.95, "recall": 0.9, "total": 20}
 
     monkeypatch.setattr(euf, "run", fake_run)
