@@ -51,16 +51,22 @@ class _StubPredictor:
         pass
 
 
-def engine_only_bench(args):
+def engine_only_bench(args, engine=None):
     """Concurrent scoring with PRE-DECODED inputs: isolates cross-request
     batching behavior from this box's 1-core host decode limit (r3 VERDICT
     item 7). Each simulated request scores ``--windows-per-request``
     model windows (a short 2-track clip with refinement scores ~4-10);
-    ``--coalesce on`` merges concurrent requests into shared forwards."""
+    ``--coalesce on`` merges concurrent requests into shared forwards.
+
+    ``engine`` lets a caller (scripts/bench_coalesce_r5.py) reuse ONE
+    loaded engine across a whole A/B matrix — checkpoint restore + jit
+    warm-up costs minutes per process on the tunneled dev box."""
     from lipsync_tpu.inference.batcher import CoalescingEngine
     from lipsync_tpu.inference.engine import load_engine
 
-    engine = load_engine(args.model_path)
+    shared = engine is not None
+    if not shared:
+        engine = load_engine(args.model_path)
     coalesce = args.coalesce == "on"
     if coalesce:
         engine = CoalescingEngine(
