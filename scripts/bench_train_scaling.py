@@ -103,21 +103,31 @@ def main() -> None:
             rng=jax.random.PRNGKey(7),
         )
         flops = 0.0
+        hbm_bytes = 0.0
         try:
             compiled = train_step.lower(state, batch_dev).compile()
             analysis = compiled.cost_analysis()
             if isinstance(analysis, (list, tuple)):
                 analysis = analysis[0]
             flops = float(analysis.get("flops", 0.0))
+            hbm_bytes = float(analysis.get("bytes accessed", 0.0))
         except Exception:
             pass
 
         # Warm (compile); then measure. The step donates `state`, so
         # thread the returned state through the loop.
-        t0 = time.perf_counter()
-        state, m = train_step(state, batch_dev)
-        np.asarray(m["loss"])
-        compile_s = time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            state, m = train_step(state, batch_dev)
+            np.asarray(m["loss"])
+            compile_s = time.perf_counter() - t0
+        except Exception as e:  # v5e-1 HBM OOM at batch 512 — record it
+            msg = str(e).splitlines()[0][:200]
+            print(f"[scaling] batch {batch}: FAILED ({msg})",
+                  file=sys.stderr, flush=True)
+            rows.append({"batch": batch, "error": msg})
+            del state, batch_dev
+            continue
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
@@ -131,6 +141,12 @@ def main() -> None:
             "clips_per_sec": round(batch / p50, 1),
             "mfu": round(flops / p50 / peak, 4) if peak and flops else None,
             "flops_per_step": round(flops) if flops else None,
+            # XLA's "bytes accessed" is the compiler's HBM traffic estimate;
+            # against the v5e public 819 GB/s this prices whether the step is
+            # bandwidth-bound (hbm_util ~1 means speed-of-light on HBM).
+            "hbm_bytes_per_step": round(hbm_bytes) if hbm_bytes else None,
+            "hbm_util": (round(hbm_bytes / p50 / 819e9, 3)
+                         if on_tpu and hbm_bytes else None),
             "first_call_s": round(compile_s, 1),
         }
         print(f"[scaling] {row}", file=sys.stderr, flush=True)
