@@ -29,7 +29,11 @@ NPC_CAL_PH=${NPC_CAL_PH:-225}
 NPC_CAL_INTF=${NPC_CAL_INTF:-60}
 NPC_CAL_ENV=${NPC_CAL_ENV:-60}
 EPOCHS=${EPOCHS:-60}
-BATCH=${BATCH:-128}          # knee of docs/eval/train_scaling.json
+BATCH=${BATCH:-32}           # batch 64+ OOMs HBM next to the 5.5 GB
+                             # device-cache corpus (BENCHMARKS.md
+                             # "Train-step batch scaling"); the
+                             # train_scaling.json knee (128) only applies
+                             # to host-staged training
 U=${U:-/tmp/union_flagship}
 W=${W:-$U/weights}
 OUT=${OUT:-docs/eval}
